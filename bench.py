@@ -1,0 +1,123 @@
+"""Benchmark: full training step on the reference production config.
+
+Prints ONE JSON line to stdout:
+  {"metric": "imagenet64_train_step_ms", "value": <ms>, "unit": "ms",
+   "vs_baseline": <59.20 / ms>}
+
+vs_baseline > 1.0 means faster than the reference's best published number
+(59.20 ms/step, PyTorch + torch.compile on RTX 4090, fp32, B=32 —
+reference README.md:8-12, BASELINE.md).  Secondary numbers (fp32 step,
+fwd-only, sampler throughput) go to stderr.
+
+Benchmark discipline: jit-warmup first (compile excluded), then mean over
+timed reps with block_until_ready, fresh random batch data each rep from a
+pre-generated pool so no rep reuses device-cached inputs (the reference
+flushes L2 between reps for the same reason, dev/common.h:88-122).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def time_fn(fn, *args, reps=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="headline compute dtype (bf16 = TPU-native "
+                             "mixed precision, fp32 accumulate)")
+    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--no-secondary", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from unet_tpu.config import TrainConfig, UnetConfig
+    from unet_tpu.diffusion.gaussian import (GaussianDiffusion,
+                                             named_beta_schedule)
+    from unet_tpu.diffusion.sampler import make_sampler
+    from unet_tpu.models import unet
+    from unet_tpu.training import trainer
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    cfg = UnetConfig()  # reference production config (B=32 below)
+    B = 32
+    rng = np.random.default_rng(0)
+    params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule("linear", cfg.max_period))
+
+    batches = [jnp.asarray(rng.standard_normal(
+        (B, 64, 64, 3)).astype(np.float32) * 0.5) for _ in range(4)]
+
+    def bench_step(dtype_name):
+        tc = TrainConfig(batch_size=B, compute_dtype=dtype_name)
+        step_fn, _ = trainer.make_train_step(cfg, tc, diffusion)
+        state = trainer.init_state(
+            jax.tree.map(jnp.array, params))  # private copy: step donates
+        # warmup/compile
+        out = step_fn(state, batches[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        n = args.reps
+        s = state
+        for i in range(n):
+            s, loss = step_fn(s, batches[i % len(batches)])
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    headline_ms = bench_step(args.dtype)
+    print(f"train_step {args.dtype}: {headline_ms:.2f} ms", file=sys.stderr)
+
+    if not args.no_secondary:
+        other = "float32" if args.dtype == "bfloat16" else "bfloat16"
+        other_ms = bench_step(other)
+        print(f"train_step {other}: {other_ms:.2f} ms", file=sys.stderr)
+
+        fwd = jax.jit(lambda p, x, t: unet.apply(
+            p, cfg, x, t, compute_dtype=jnp.dtype(args.dtype)))
+        t = jnp.zeros((B,), jnp.float32)
+        fwd_ms = time_fn(fwd, params, batches[0], t, reps=args.reps)
+        print(f"unet_fwd {args.dtype} B={B}: {fwd_ms:.2f} ms",
+              file=sys.stderr)
+
+        sampler = make_sampler(cfg, diffusion, batch_size=8,
+                               compute_dtype=jnp.dtype(args.dtype))
+        t0 = time.perf_counter()
+        imgs = sampler(params, jax.random.PRNGKey(0))
+        jax.block_until_ready(imgs)
+        dt = time.perf_counter() - t0
+        print(f"ddpm_sample B=8 (998 steps): {dt:.2f} s "
+              f"= {8 / dt:.3f} samples/s", file=sys.stderr)
+
+    baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
+    print(json.dumps({
+        "metric": "imagenet64_train_step_ms",
+        "value": round(headline_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / headline_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Checkpoint + dataset .bin interchange tests.
+
+Covers the reference's save/load contract (reference
+train_unet.cu:4759-4911, train_unet.py:768-795, generate.py:17-27,
+prepare_data.py:19-51): header layout, torch named_parameters() flat
+order, AdamW moment round-trip, and the dataset format.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from unet_tpu.data import dataset
+from unet_tpu.io import checkpoint as ckpt_io
+from unet_tpu.training import trainer
+
+
+def test_checkpoint_roundtrip(small_cfg, rng, tmp_path):
+    from tests.test_model import make_params_and_flat
+    params, flat = make_params_and_flat(small_cfg)
+    state = trainer.init_state(params, step=42)
+
+    path = os.path.join(tmp_path, "model.bin")
+    ckpt_io.save(path, ckpt_io.Checkpoint(
+        params=params, cfg=small_cfg, batch_size=32, step=42,
+        adam_m=state.m, adam_v=state.v, rng_seed=7))
+
+    loaded = ckpt_io.load(path, small_cfg)
+    assert loaded.step == 42
+    assert loaded.batch_size == 32
+    assert loaded.rng_seed == 7
+    np.testing.assert_array_equal(
+        ckpt_io.flatten_params(loaded.params, small_cfg), flat)
+    assert loaded.adam_m is not None
+    np.testing.assert_array_equal(
+        ckpt_io.flatten_params(loaded.adam_m, small_cfg),
+        np.zeros_like(flat))
+
+
+def test_checkpoint_header_reference_layout(small_cfg, tmp_path):
+    # Byte-level header contract (reference train_unet.cu:4762-4814).
+    from tests.test_model import make_params_and_flat
+    params, flat = make_params_and_flat(small_cfg)
+    path = os.path.join(tmp_path, "model.bin")
+    ckpt_io.save(path, ckpt_io.Checkpoint(
+        params=params, cfg=small_cfg, batch_size=16))
+
+    raw = np.fromfile(path, dtype=np.int32, count=256)
+    assert raw[0] == 12345678
+    assert raw[1] == 16
+    assert raw[2] == small_cfg.in_channels
+    assert raw[3] == small_cfg.model_channels
+    assert raw[4] == small_cfg.out_channels
+    assert raw[5] == small_cfg.image_size
+    assert raw[7] == small_cfg.max_period
+    assert raw[8] == 0 and raw[9] == 0
+    body = np.fromfile(path, dtype=np.float32, offset=256 * 4)
+    np.testing.assert_array_equal(body, flat)
+
+
+def test_load_python_init_style_file(small_cfg, tmp_path):
+    # A params-only file in the reference Python writer's format
+    # (train_unet.py:768-795) loads, and the config is recoverable from
+    # the header alone.
+    n = ckpt_io.num_params(small_cfg)
+    flat = np.arange(n, dtype=np.float32)
+    header = np.zeros(256, dtype=np.int32)
+    header[0] = 12345678
+    header[1] = 32
+    header[2], header[3], header[4] = 3, small_cfg.model_channels, 3
+    header[5] = header[6] = small_cfg.image_size
+    header[7] = 1000
+    path = os.path.join(tmp_path, "unet_init.bin")
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(flat.tobytes())
+
+    loaded = ckpt_io.load(path)  # cfg inferred from header
+    assert loaded.cfg.model_channels == small_cfg.model_channels
+    np.testing.assert_array_equal(
+        ckpt_io.flatten_params(loaded.params, loaded.cfg), flat)
+
+
+def test_dataset_bin_roundtrip(tmp_path, rng):
+    imgs = rng.standard_normal((10, 3, 8, 8)).astype(np.float32)
+    path = os.path.join(tmp_path, "data.bin")
+    dataset.write_bin(path, imgs)
+
+    raw = np.fromfile(path, dtype=np.int32, count=5)
+    assert list(raw) == [20240620, 10, 3, 8, 8]
+
+    ds = dataset.BinDataset(path)
+    assert len(ds) == 10
+    batch = ds.batch_nhwc(np.array([3, 1]))
+    np.testing.assert_array_equal(batch.transpose(0, 3, 1, 2), imgs[[3, 1]])
+
+
+def test_data_loader_sequential_wrap(tmp_path, rng):
+    imgs = rng.standard_normal((7, 3, 4, 4)).astype(np.float32)
+    path = os.path.join(tmp_path, "data.bin")
+    dataset.write_bin(path, imgs)
+    it = dataset.data_loader(path, batch_size=3)
+    b1, b2, b3 = next(it), next(it), next(it)
+    # Sequential, wraps at EOF like the reference loader
+    # (train_unet.cu:3085-3096).
+    np.testing.assert_array_equal(b1.transpose(0, 3, 1, 2), imgs[0:3])
+    np.testing.assert_array_equal(b2.transpose(0, 3, 1, 2), imgs[3:6])
+    np.testing.assert_array_equal(b3.transpose(0, 3, 1, 2), imgs[0:3])
+
+
+def test_data_loader_sharded(tmp_path, rng):
+    imgs = rng.standard_normal((8, 3, 4, 4)).astype(np.float32)
+    path = os.path.join(tmp_path, "data.bin")
+    dataset.write_bin(path, imgs)
+    a = next(dataset.data_loader(path, 2, num_shards=2, shard_index=0))
+    b = next(dataset.data_loader(path, 2, num_shards=2, shard_index=1))
+    np.testing.assert_array_equal(a.transpose(0, 3, 1, 2), imgs[[0, 2]])
+    np.testing.assert_array_equal(b.transpose(0, 3, 1, 2), imgs[[1, 3]])

@@ -1,0 +1,102 @@
+"""Data-parallel training on the 8-device virtual CPU mesh.
+
+Parallelism is green-field (the reference is single-GPU, SURVEY.md
+section 2.8); the correctness contract is "same math as 1 device with the
+same global batch", verified by comparing sharded against single-device
+gradients to fp32 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_tpu.config import TrainConfig, UnetConfig
+from unet_tpu.models import unet
+from unet_tpu.parallel import mesh as pmesh
+from unet_tpu.training import trainer
+
+TINY = UnetConfig(model_channels=32, image_size=16, attention_ds=(2, 4),
+                  num_head_channels=32, channel_mult=(1, 2))
+
+
+@pytest.fixture()
+def tiny_setup():
+    # fresh param copies per test: the sharded train steps DONATE their
+    # state, which would delete a module-scoped fixture's arrays
+    params = jax.jit(lambda k: unet.init(k, TINY))(jax.random.PRNGKey(0))
+    params = jax.tree.map(jnp.array, params)
+    rng = np.random.default_rng(3)
+    batch = rng.standard_normal((8, 16, 16, 3)).astype(np.float32) * 0.5
+    return params, batch
+
+
+def test_dp_matches_single_device(tiny_setup):
+    # The DP contract is "same gradients as one device with the global
+    # batch" (gradients ARE the allreduced quantity; comparing post-Adam
+    # params instead would be ill-conditioned: at step 1 the update is
+    # lr*g/(|g|+eps), so reduction-order noise on near-zero grads shifts
+    # params by O(lr)).
+    params, batch = tiny_setup
+    mesh = pmesh.make_mesh(data=8)
+    from unet_tpu.diffusion.gaussian import (GaussianDiffusion,
+                                             named_beta_schedule)
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule("linear", TINY.max_period))
+    loss_fn = trainer.make_loss_fn(TINY, diffusion)
+
+    t = jnp.asarray([5, 99, 500, 731, 1, 999, 250, 400])
+    noise = jnp.asarray(np.random.default_rng(4).standard_normal(
+        batch.shape).astype(np.float32))
+    batch = jnp.asarray(batch)
+
+    loss1, grads1 = jax.jit(jax.value_and_grad(loss_fn))(
+        params, batch, t, noise)
+
+    rep = pmesh.replicated(mesh)
+    xsh = pmesh.batch_sharding(mesh)
+    tsh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    loss8, grads8 = jax.jit(
+        jax.value_and_grad(loss_fn),
+        in_shardings=(rep, xsh, tsh, xsh),
+        out_shardings=(rep, rep))(
+        jax.device_put(params, rep), jax.device_put(batch, xsh),
+        jax.device_put(t, tsh), jax.device_put(noise, xsh))
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads1),
+                    jax.tree.leaves(jax.device_get(grads8))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_parallel_train_step_runs(tiny_setup):
+    # The full random-draw DP step (the production path) executes and
+    # produces a finite loss on the 8-device mesh.
+    params, batch = tiny_setup
+    tc = TrainConfig(batch_size=8)
+    mesh = pmesh.make_mesh(data=8)
+    step_fn = pmesh.make_parallel_train_step(TINY, tc, mesh)
+    state = pmesh.shard_state(trainer.init_state(params), mesh)
+    state, loss = step_fn(state, pmesh.shard_batch(batch, mesh))
+    assert np.isfinite(float(loss))
+    state, loss2 = step_fn(state, pmesh.shard_batch(batch, mesh))
+    assert np.isfinite(float(loss2))
+
+
+def test_spatial_sharding_runs(tiny_setup):
+    # 4x2 mesh: batch over data, activation height over model (GSPMD halo
+    # exchange through the convs).
+    params, batch = tiny_setup
+    tc = TrainConfig(batch_size=8)
+    mesh = pmesh.make_mesh(data=4, model=2)
+    step_fn = pmesh.make_parallel_train_step(TINY, tc, mesh, spatial=True)
+    state = pmesh.shard_state(trainer.init_state(params), mesh)
+    state, loss = step_fn(state, pmesh.shard_batch(batch, mesh,
+                                                   spatial=True))
+    assert np.isfinite(float(loss))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

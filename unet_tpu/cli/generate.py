@@ -1,0 +1,59 @@
+"""Sampling CLI (reference generate.py CLI surface).
+
+python -m unet_tpu.cli.generate --model_filename models/model_10000.bin \
+    [--output_filename sample.jpg] [--batch_size 1] [--seed 0]
+
+Loads a .bin checkpoint (ours or one written by the reference CUDA/torch
+trainers — same interchange format) and runs the jitted DDPM sampler.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from unet_tpu.config import UnetConfig
+from unet_tpu.diffusion.gaussian import GaussianDiffusion, named_beta_schedule
+from unet_tpu.diffusion.sampler import make_sampler, to_uint8
+from unet_tpu.io import checkpoint as ckpt_io
+from unet_tpu.utils.args import add_dict_to_argparser
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, dict(
+        model_filename="", output_filename="sample.jpg",
+        batch_size=1, seed=0, compute_dtype="float32"))
+    args = parser.parse_args(argv)
+    if not args.model_filename:
+        parser.error("--model_filename is required")
+
+    ckpt = ckpt_io.load(args.model_filename)
+    cfg = ckpt.cfg
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule("linear", cfg.max_period))
+    sampler = make_sampler(cfg, diffusion, batch_size=args.batch_size,
+                           compute_dtype=np.dtype(args.compute_dtype))
+    images = sampler(ckpt.params, jax.random.PRNGKey(args.seed))
+    arr = to_uint8(images)  # (B, H, W, C)
+
+    from PIL import Image
+    if args.batch_size == 1:
+        Image.fromarray(arr[0]).save(args.output_filename)
+    else:
+        # grid: rows of up to 8
+        b, h, w, c = arr.shape
+        cols = min(b, 8)
+        rows = (b + cols - 1) // cols
+        grid = np.zeros((rows * h, cols * w, c), np.uint8)
+        for i in range(b):
+            r, cl = divmod(i, cols)
+            grid[r * h:(r + 1) * h, cl * w:(cl + 1) * w] = arr[i]
+        Image.fromarray(grid).save(args.output_filename)
+    print(f"Saved sample to {args.output_filename}")
+
+
+if __name__ == "__main__":
+    main()

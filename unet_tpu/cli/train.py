@@ -1,0 +1,159 @@
+"""Training CLI.
+
+Unifies the reference's two trainer entry points into one:
+  * the CUDA trainer `./train_unet --model_weights F --data_file F
+    --log_file F` (reference train_unet.cu:4948-4956) — same three flags,
+    same cadence (log every 100 iters, checkpoint ./models/model_<it>.bin
+    every 10,000, reference train_unet.cu:4993-4995, :5045-5057);
+  * the torch trainer's full flag surface via defaults-dict argparse
+    (reference train_unet.py:660-727), including --init_model_only
+    (reference train_unet.py:956-958: write the init checkpoint and exit).
+
+Run: python -m unet_tpu.cli.train --data_file data/train.bin [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from unet_tpu.config import TrainConfig, UnetConfig
+from unet_tpu.data import dataset
+from unet_tpu.diffusion.gaussian import GaussianDiffusion, named_beta_schedule
+from unet_tpu.io import checkpoint as ckpt_io
+from unet_tpu.models import unet
+from unet_tpu.parallel import mesh as pmesh
+from unet_tpu.training import trainer
+from unet_tpu.utils.args import add_dict_to_argparser
+from unet_tpu.utils.logger import Logger, TextLog
+
+
+def defaults() -> dict:
+    return dict(
+        # reference CUDA CLI (train_unet.cu:4948-4956)
+        model_weights="",       # .bin checkpoint to load ("" = fresh init)
+        data_file="data/elephant_train.bin",
+        log_file="log.txt",
+        # reference torch CLI (train_unet.py:696-722)
+        image_size=64,
+        num_channels=64,
+        num_res_blocks=2,
+        diffusion_steps=1000,
+        noise_schedule="linear",
+        lr=1e-4,
+        weight_decay=0.0,
+        batch_size=32,
+        log_interval=100,
+        save_interval=10_000,
+        iterations=100_000,
+        init_model_only=False,
+        init_model_filename="unet_init.bin",
+        seed=0,
+        # TPU-native extensions
+        compute_dtype="float32",   # float32 | bfloat16
+        remat=False,
+        shuffle=False,
+        num_devices=0,             # 0 = all visible devices (data parallel)
+        output_dir="models",
+        csv_log_dir="",
+    )
+
+
+def create_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults())
+    return parser
+
+
+def main(argv=None) -> None:
+    args = create_argparser().parse_args(argv)
+    cfg = UnetConfig(model_channels=args.num_channels,
+                     num_res_blocks=args.num_res_blocks,
+                     image_size=args.image_size,
+                     max_period=args.diffusion_steps)
+    tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                     weight_decay=args.weight_decay,
+                     iterations=args.iterations,
+                     log_interval=args.log_interval,
+                     save_interval=args.save_interval,
+                     compute_dtype=args.compute_dtype, remat=args.remat,
+                     shuffle=args.shuffle)
+
+    # --- model init / load (reference train_unet.cu:4819-4911) ---
+    start_step = 0
+    adam_m = adam_v = None
+    if args.model_weights:
+        ckpt = ckpt_io.load(args.model_weights, cfg)
+        params, start_step = ckpt.params, ckpt.step
+        adam_m, adam_v = ckpt.adam_m, ckpt.adam_v
+        print(f"loaded {args.model_weights} (step {start_step})")
+    else:
+        params = jax.jit(lambda k: unet.init(k, cfg))(
+            jax.random.PRNGKey(args.seed))
+        print(f"fresh init (seed {args.seed}, "
+              f"{ckpt_io.num_params(cfg):,} params)")
+
+    if args.init_model_only:
+        # reference train_unet.py:956-958
+        ckpt_io.save(args.init_model_filename, ckpt_io.Checkpoint(
+            params=params, cfg=cfg, batch_size=tc.batch_size))
+        print(f"wrote init checkpoint to {args.init_model_filename}")
+        return
+
+    state = trainer.init_state(params, seed=args.seed, step=start_step)
+    if adam_m is not None:
+        state = state._replace(m=adam_m, v=adam_v)
+
+    # --- data + step function ---
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule(args.noise_schedule, cfg.max_period))
+    n_dev = args.num_devices or len(jax.devices())
+    if n_dev > 1:
+        m = pmesh.make_mesh(data=n_dev,
+                            devices=jax.devices()[:n_dev])
+        step_fn = pmesh.make_parallel_train_step(cfg, tc, m, diffusion)
+        state = pmesh.shard_state(state, m)
+        global_batch = tc.batch_size * n_dev
+    else:
+        step_fn, _ = trainer.make_train_step(cfg, tc, diffusion)
+        global_batch = tc.batch_size
+    loader = dataset.data_loader(args.data_file, global_batch,
+                                 shuffle=tc.shuffle, seed=args.seed)
+
+    # --- loop (reference train_unet.cu:5019-5058) ---
+    text_log = TextLog(args.log_file)
+    kv_log = Logger(args.csv_log_dir or None)
+    counter = trainer.LossCounter()
+    os.makedirs(args.output_dir, exist_ok=True)
+    t_flush = time.perf_counter()
+    for it in range(start_step + 1, tc.iterations + 1):
+        batch = next(loader)
+        state, loss = step_fn(state, batch)
+        counter.add(loss)  # device->host sync point, like the reference's
+        #                    per-step loss D2H copy (train_unet.cu:4419)
+        if it % tc.log_interval == 0:
+            dt = (time.perf_counter() - t_flush) / tc.log_interval
+            mean_loss = counter.mean_and_reset()
+            text_log.log(f"step {it}: loss {mean_loss:.6f} "
+                         f"({dt * 1e3:.2f} ms/step)")
+            kv_log.logkv("step", it)
+            kv_log.logkv("loss", mean_loss)
+            kv_log.logkv("ms_per_step", dt * 1e3)
+            kv_log.dumpkvs()
+            t_flush = time.perf_counter()
+        if it % tc.save_interval == 0:
+            path = os.path.join(args.output_dir, f"model_{it}.bin")
+            ckpt_io.save(path, ckpt_io.Checkpoint(
+                params=jax.device_get(state.params), cfg=cfg,
+                batch_size=tc.batch_size, step=it,
+                adam_m=jax.device_get(state.m),
+                adam_v=jax.device_get(state.v), rng_seed=args.seed))
+            text_log.log(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Binary image dataset (.bin, magic 20240620) reader/writer + loader.
+
+File contract (reference prepare_data.py:19-51, loader
+train_unet.cu:3032-3099): 256-int32 header [magic, n_imgs, C, H, W]
+followed by n_imgs fp32 images, CHW, values in [-1, 1].
+
+The reader memory-maps the file and serves NHWC batches (TPU layout);
+the CHW->HWC transpose happens on host at batch-assembly time.  The
+reference loader streams sequentially with no shuffling
+(train_unet.cu:3085-3096); that is the default here too, with optional
+shuffling for real training runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+MAGIC = 20240620
+HEADER_INTS = 256
+
+
+def write_bin(path: str, images: np.ndarray) -> None:
+    """images: (N, C, H, W) fp32 in [-1, 1]."""
+    n, c, h, w = images.shape
+    header = np.zeros(HEADER_INTS, dtype=np.int32)
+    header[0], header[1], header[2], header[3], header[4] = MAGIC, n, c, h, w
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(np.ascontiguousarray(images, dtype=np.float32).tobytes())
+
+
+def images_to_bin(image_dir: str, out_path: str, *, size: int = 64) -> int:
+    """Directory of images -> .bin (reference prepare_data.py:19-38).
+    Returns the number of images written.
+
+    Unlike the reference (which assumes pre-sized inputs and writes raw
+    bytes under a hardcoded 64x64 header — silently corrupting the file
+    for any other input size), non-square/mis-sized images are
+    center-cropped to square and bicubic-resized to `size`.
+    """
+    from PIL import Image  # lazy: PIL only needed for this entry point
+
+    files = _list_images(image_dir)
+    header = np.zeros(HEADER_INTS, dtype=np.int32)
+    header[0], header[1] = MAGIC, len(files)
+    header[2], header[3], header[4] = 3, size, size
+    with open(out_path, "wb") as f:
+        f.write(header.tobytes())
+        for fname in files:
+            img = Image.open(fname).convert("RGB")
+            if img.size != (size, size):
+                side = min(img.size)
+                left = (img.width - side) // 2
+                top = (img.height - side) // 2
+                img = img.crop((left, top, left + side, top + side))
+                img = img.resize((size, size), Image.BICUBIC)
+            arr = np.asarray(img).astype(np.float32) / 127.5 - 1.0
+            f.write(arr.transpose(2, 0, 1).astype(np.float32).tobytes())
+    return len(files)
+
+
+def _list_images(data_dir: str):
+    exts = {"jpg", "jpeg", "png", "gif"}
+    results = []
+    for entry in sorted(os.listdir(data_dir)):
+        full = os.path.join(data_dir, entry)
+        if os.path.isdir(full):
+            results.extend(_list_images(full))
+        elif "." in entry and entry.rsplit(".", 1)[-1].lower() in exts:
+            results.append(full)
+    return results
+
+
+class BinDataset:
+    """Memory-mapped view over a .bin dataset; zero-copy until batch read."""
+
+    def __init__(self, path: str):
+        header = np.fromfile(path, dtype=np.int32, count=HEADER_INTS)
+        if header[0] != MAGIC:
+            raise ValueError(f"bad magic {header[0]} in {path}")
+        self.n_images = int(header[1])
+        self.channels = int(header[2])
+        self.height = int(header[3])
+        self.width = int(header[4])
+        self._mmap = np.memmap(
+            path, dtype=np.float32, mode="r", offset=HEADER_INTS * 4,
+            shape=(self.n_images, self.channels, self.height, self.width))
+
+    def __len__(self) -> int:
+        return self.n_images
+
+    def batch_nhwc(self, indices: np.ndarray) -> np.ndarray:
+        """Gather a batch and transpose to NHWC fp32."""
+        return np.ascontiguousarray(
+            self._mmap[indices].transpose(0, 2, 3, 1), dtype=np.float32)
+
+
+def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
+                seed: int = 0, num_shards: int = 1, shard_index: int = 0,
+                ) -> Iterator[np.ndarray]:
+    """Infinite NHWC batch iterator.
+
+    Default (shuffle=False) matches the reference loader: sequential
+    fixed-stride batches wrapping at EOF (train_unet.cu:3085-3096).  With
+    num_shards > 1, each shard reads a disjoint interleaved slice for
+    data-parallel training (no reference analog; parallelism is
+    green-field per SURVEY.md section 2.8).
+    """
+    ds = BinDataset(path)
+    n = len(ds)
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        while True:
+            perm = rng.permutation(n)
+            perm = perm[shard_index::num_shards]
+            for i in range(0, len(perm) - batch_size + 1, batch_size):
+                yield ds.batch_nhwc(perm[i:i + batch_size])
+    else:
+        pos = 0
+        idx = np.arange(n)[shard_index::num_shards]
+        m = len(idx)
+        while True:
+            if pos + batch_size > m:
+                pos = 0
+            yield ds.batch_nhwc(idx[pos:pos + batch_size])
+            pos += batch_size

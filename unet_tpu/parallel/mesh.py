@@ -1,0 +1,103 @@
+"""Device mesh + sharded training (green-field: the reference is strictly
+single-GPU, SURVEY.md section 2.8; BASELINE.json asks for data-parallel
+gradient-allreduce over ICI as the TPU-native scaling layer).
+
+Design: GSPMD, not hand-written collectives.  The global batch is sharded
+over the "data" mesh axis, parameters/optimizer state are replicated, and
+the jitted train step computes a global-mean loss — XLA then inserts the
+gradient all-reduce over ICI automatically.  Semantics: identical math to
+one device with the same global batch.
+
+An optional "model" mesh axis spatially shards activations (height dim)
+inside each replica — XLA GSPMD performs the conv halo exchanges.  This is
+the TPU analog of tensor/sequence parallelism for a convnet and becomes
+profitable only at large image sizes (BASELINE stretch: 128x128+).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unet_tpu.config import TrainConfig, UnetConfig
+from unet_tpu.diffusion.gaussian import GaussianDiffusion, named_beta_schedule
+from unet_tpu.models import unet
+from unet_tpu.training import optim, trainer
+
+
+def make_mesh(data: int = 0, model: int = 1,
+              devices=None) -> Mesh:
+    """1-D or 2-D mesh over the given (default: all) devices.
+    data=0 means "all remaining devices on the data axis"."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == 0:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """(B, H, W, C) activations: batch over 'data', optionally height over
+    'model' (GSPMD halo-exchanges the conv aprons)."""
+    return NamedSharding(
+        mesh, P("data", "model" if spatial else None, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
+                             diffusion: Optional[GaussianDiffusion] = None,
+                             *, spatial: bool = False, donate: bool = True):
+    """Jitted `train_step(state, global_batch) -> (state, loss)` over the
+    mesh.  `global_batch` is (B_global, H, W, C); B_global must divide by
+    the data-axis size.  State is replicated; loss is the global mean, so
+    XLA all-reduces gradients over ICI exactly like the reference's
+    "same math as 1 device with bigger batch" target (SURVEY.md 2.8).
+    """
+    if diffusion is None:
+        diffusion = GaussianDiffusion.create(
+            named_beta_schedule("linear", cfg.max_period))
+    hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
+                           eps=tc.eps, weight_decay=tc.weight_decay)
+    loss_fn = trainer.make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype,
+                                   tc.remat)
+    x_shard = batch_sharding(mesh, spatial)
+
+    def train_step(state: trainer.TrainState, batch):
+        batch = jax.lax.with_sharding_constraint(batch, x_shard)
+        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t = jax.random.randint(t_key, (batch.shape[0],), 0,
+                               diffusion.num_timesteps)
+        noise = jax.random.normal(n_key, batch.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, t, noise)
+        new_step = state.step + 1
+        params, m, v = optim.adamw_update(
+            state.params, grads, state.m, state.v, new_step, hp)
+        return state._replace(params=params, m=m, v=v, step=new_step,
+                              rng=rng), loss
+
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, x_shard),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_state(state: trainer.TrainState, mesh: Mesh) -> trainer.TrainState:
+    """Place (replicate) a TrainState onto the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+    return jax.device_put(jnp.asarray(batch), batch_sharding(mesh, spatial))

@@ -1,0 +1,144 @@
+"""ctypes bindings for the native runtime (native/unet_tpu_native.cpp).
+
+Builds the shared library on first use (cached next to the package).
+Exposes:
+  * TorchRng — bit-exact PyTorch MT19937 stream (the dev/rand.h role in
+    the reference test harness: cross-framework RNG parity for
+    timesteps/noise, SURVEY.md sections 3.5, 7).
+  * NativeLoader — background-prefetch .bin dataset reader producing NHWC
+    batches (reference train_unet.cu:3032-3099, minus the blocking reads).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO_PATH = os.path.join(_PKG_DIR, "_native.so")
+_SRC_PATH = os.path.join(os.path.dirname(_PKG_DIR), "native",
+                         "unet_tpu_native.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+         "-ffp-contract=off",
+         "-o", _SO_PATH, _SRC_PATH],
+        check=True, capture_output=True)
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO_PATH)
+            or (os.path.exists(_SRC_PATH)
+                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH))):
+        _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.rng_create.restype = ctypes.c_void_p
+    lib.rng_create.argtypes = [ctypes.c_uint32]
+    lib.rng_destroy.argtypes = [ctypes.c_void_p]
+    lib.rng_seed.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.rng_u32.restype = ctypes.c_uint32
+    lib.rng_u32.argtypes = [ctypes.c_void_p]
+    lib.rng_f32.restype = ctypes.c_float
+    lib.rng_f32.argtypes = [ctypes.c_void_p]
+    lib.rng_f64.restype = ctypes.c_double
+    lib.rng_f64.argtypes = [ctypes.c_void_p]
+    fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.rng_uniform.argtypes = [ctypes.c_void_p, fp, ctypes.c_int64,
+                                ctypes.c_float, ctypes.c_float]
+    lib.rng_normal.argtypes = [ctypes.c_void_p, fp, ctypes.c_int64,
+                               ctypes.c_float, ctypes.c_float]
+    lib.rng_timesteps.argtypes = [ctypes.c_void_p, fp, ctypes.c_int64,
+                                  ctypes.c_int]
+    lib.rng_shuffle.argtypes = [ctypes.c_void_p, ip, ctypes.c_int64]
+    lib.loader_open.restype = ctypes.c_void_p
+    lib.loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.loader_close.argtypes = [ctypes.c_void_p]
+    lib.loader_meta.argtypes = [
+        ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64,
+                                                flags="C_CONTIGUOUS")]
+    lib.loader_next.argtypes = [ctypes.c_void_p, fp]
+    _lib = lib
+    return lib
+
+
+class TorchRng:
+    """Bit-exact torch.manual_seed(seed) MT19937 stream."""
+
+    def __init__(self, seed: int = 0):
+        self._lib = load_library()
+        self._h = self._lib.rng_create(seed & 0xFFFFFFFF)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.rng_destroy(self._h)
+            self._h = None
+
+    def seed(self, seed: int) -> None:
+        self._lib.rng_seed(self._h, seed & 0xFFFFFFFF)
+
+    def randint32(self) -> int:
+        return int(self._lib.rng_u32(self._h))
+
+    def uniform(self, n: int, lo: float = 0.0, hi: float = 1.0) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        self._lib.rng_uniform(self._h, out, n, lo, hi)
+        return out
+
+    def normal(self, shape, mean: float = 0.0, std: float = 1.0) -> np.ndarray:
+        n = int(np.prod(shape))
+        out = np.empty(n, np.float32)
+        self._lib.rng_normal(self._h, out, n, mean, std)
+        return out.reshape(shape)
+
+    def timesteps(self, n: int, max_period: int) -> np.ndarray:
+        """floor(u * max_period) as float32 — the reference's torch-parity
+        timestep draw (dev/unet_test.cu:274-284)."""
+        out = np.empty(n, np.float32)
+        self._lib.rng_timesteps(self._h, out, n, max_period)
+        return out
+
+    def shuffle_indices(self, n: int) -> np.ndarray:
+        idx = np.arange(n, dtype=np.int32)
+        self._lib.rng_shuffle(self._h, idx, n)
+        return idx
+
+
+class NativeLoader:
+    """Prefetching NHWC batch reader over a .bin dataset."""
+
+    def __init__(self, path: str, batch_size: int):
+        self._lib = load_library()
+        self._h = self._lib.loader_open(path.encode(), batch_size)
+        if not self._h:
+            raise IOError(f"cannot open dataset {path}")
+        meta = np.zeros(4, np.int64)
+        self._lib.loader_meta(self._h, meta)
+        self.n_images, self.channels, self.height, self.width = map(int, meta)
+        self.batch_size = batch_size
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.loader_close(self._h)
+            self._h = None
+
+    def next_batch(self) -> np.ndarray:
+        out = np.empty((self.batch_size, self.height, self.width,
+                        self.channels), np.float32)
+        self._lib.loader_next(self._h, out)
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
