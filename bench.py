@@ -70,21 +70,22 @@ def main() -> None:
     batches = [jnp.asarray(rng.standard_normal(
         (B, 64, 64, 3)).astype(np.float32) * 0.5) for _ in range(4)]
 
-    def bench_step(dtype_name):
+    def bench_step(dtype_name, K=10):
+        # production path: K steps scanned into one XLA program
+        # (amortizes per-dispatch host overhead, ~3 ms/step on this host)
         tc = TrainConfig(batch_size=B, compute_dtype=dtype_name)
-        step_fn, _ = trainer.make_train_step(cfg, tc, diffusion)
+        ms_fn = trainer.make_multi_step(cfg, tc, diffusion)
         state = trainer.init_state(
             jax.tree.map(jnp.array, params))  # private copy: step donates
-        # warmup/compile
-        out = step_fn(state, batches[0])
-        jax.block_until_ready(out)
+        kbatches = jnp.stack(batches[:2] * (K // 2))
+        state, losses = ms_fn(state, kbatches)   # warmup/compile
+        jax.block_until_ready(losses)
         t0 = time.perf_counter()
-        n = args.reps
-        s = state
+        n = max(1, args.reps // K)
         for i in range(n):
-            s, loss = step_fn(s, batches[i % len(batches)])
-        jax.block_until_ready(loss)
-        return (time.perf_counter() - t0) / n * 1e3
+            state, losses = ms_fn(state, kbatches)
+        jax.block_until_ready(losses)
+        return (time.perf_counter() - t0) / (n * K) * 1e3
 
     headline_ms = bench_step(args.dtype)
     print(f"train_step {args.dtype}: {headline_ms:.2f} ms", file=sys.stderr)

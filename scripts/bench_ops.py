@@ -1,0 +1,80 @@
+"""Per-op / per-block micro-benchmarks on the current jax backend.
+
+The analog of the reference's dev/<op>.cu benchmark mains
+(SURVEY.md section 2.7) — same shapes as the published conv table
+(reference README.md:524-529: conv3x3 C_in=192 -> C_out=64 at 64x64) so
+numbers are directly comparable.
+
+Run on the TPU:  python scripts/bench_ops.py [--dtype bfloat16]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_tpu.models import blocks
+from unet_tpu.ops import functional as F
+from unet_tpu.utils.benchmark import benchmark
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--reps", type=int, default=50)
+    args = p.parse_args()
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    B = 32
+
+    def t(*shape):
+        return jnp.asarray(rng.standard_normal(shape), dt)
+
+    print(f"backend={jax.default_backend()} dtype={dt.name} B={B}")
+
+    # conv3x3 192->64 @64x64 — the reference's headline kernel shape
+    x = t(B, 64, 64, 192)
+    w = t(3, 3, 192, 64) * 0.05
+    b = t(64)
+    conv = jax.jit(F.conv2d)
+    r = benchmark(conv, x, w, b, reps=args.reps)
+    print(f"conv3x3 192->64 @64x64 fwd: {r['mean_ms']:.3f} ms "
+          f"(ref v3 1.31 / torch 0.457 ms fp32 on 4090)")
+
+    grad = jax.jit(jax.grad(lambda x, w, b: jnp.sum(
+        F.conv2d(x, w, b).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+    r = benchmark(grad, x, w, b, reps=args.reps)
+    print(f"conv3x3 192->64 @64x64 fwd+bwd: {r['mean_ms']:.3f} ms "
+          f"(ref bwd v1 15.46 / torch 2.34 ms)")
+
+    # groupnorm+silu @ the largest slab
+    x = t(B, 64, 64, 64)
+    g, be = jnp.ones(64, dt), jnp.zeros(64, dt)
+    gn = jax.jit(lambda x, g, b: F.group_norm_silu(x, g, b))
+    r = benchmark(gn, x, g, be, reps=args.reps)
+    print(f"groupnorm+silu @64x64x64 fwd: {r['mean_ms']:.3f} ms")
+
+    # attention block @16x16x192 (first attention resolution)
+    ap = blocks.attention_init(jax.random.PRNGKey(0), 192)
+    ap = jax.tree.map(lambda a: a.astype(dt), ap)
+    x = t(B, 16, 16, 192)
+    attn = jax.jit(lambda p, x: blocks.attention_apply(p, x, head_size=32))
+    r = benchmark(attn, ap, x, reps=args.reps)
+    print(f"attention block @16x16x192 fwd: {r['mean_ms']:.3f} ms")
+
+    # resblock @64x64 64->64
+    rp = blocks.resblock_init(jax.random.PRNGKey(1), 64, 64, 256)
+    rp = jax.tree.map(lambda a: a.astype(dt), rp)
+    x = t(B, 64, 64, 64)
+    emb = t(B, 256)
+    res = jax.jit(lambda p, x, e: blocks.resblock_apply(p, x, e))
+    r = benchmark(res, rp, x, emb, reps=args.reps)
+    print(f"resblock 64->64 @64x64 fwd: {r['mean_ms']:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,31 @@ def test_data_loader_sharded(tmp_path, rng):
     b = next(dataset.data_loader(path, 2, num_shards=2, shard_index=1))
     np.testing.assert_array_equal(a.transpose(0, 3, 1, 2), imgs[[0, 2]])
     np.testing.assert_array_equal(b.transpose(0, 3, 1, 2), imgs[[1, 3]])
+
+
+def test_torch_pt_checkpoint_load(small_cfg, tmp_path):
+    """.pt state_dict loading (reference generate.py:12-16): build a fake
+    state_dict whose tensors are the torch-shaped views of a known flat
+    vector, save with torch, load, and compare flat round-trip."""
+    import torch
+    from unet_tpu.models import unet as junet
+    from tests.test_model import make_params_and_flat
+
+    params, flat = make_params_and_flat(small_cfg)
+    shapes = ckpt_io.param_shape_tree(small_cfg)
+    state = {}
+    offset = 0
+    for i, (path, kind) in enumerate(junet.param_order(small_cfg)):
+        native = ckpt_io.tree_get(shapes, path).shape
+        tshape = ckpt_io._to_torch(np.empty(native, np.float32), kind).shape
+        n = int(np.prod(tshape))
+        # torch.compile-style prefixed keys must not matter
+        state[f"_orig_mod.p{i}"] = torch.tensor(
+            flat[offset:offset + n].reshape(tshape))
+        offset += n
+    path = os.path.join(tmp_path, "model.pt")
+    torch.save(state, path)
+
+    loaded = ckpt_io.load(path, small_cfg)
+    np.testing.assert_array_equal(
+        ckpt_io.flatten_params(loaded.params, small_cfg), flat)

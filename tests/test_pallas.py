@@ -1,0 +1,61 @@
+"""Pallas TPU kernel parity vs the XLA reference path (interpret mode on
+CPU).  Mirrors the reference's per-kernel golden tests (dev/groupnorm.*,
+dev/silu.*) but fused."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_tpu.ops import functional as F
+from unet_tpu.ops.pallas.groupnorm import group_norm_act
+
+
+@pytest.mark.parametrize("shape,G", [((2, 8, 8, 64), 32),
+                                     ((2, 4, 4, 192), 32),
+                                     ((1, 4, 8, 512), 32)])
+@pytest.mark.parametrize("act", ["silu", "none"])
+def test_group_norm_act_forward(rng, shape, G, act):
+    B, H, W, C = shape
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 2 + 0.5)
+    gamma = jnp.asarray(rng.standard_normal(C, dtype=np.float32) * 0.3 + 1)
+    beta = jnp.asarray(rng.standard_normal(C, dtype=np.float32) * 0.2)
+
+    ref = F.group_norm(x, gamma, beta, num_groups=G)
+    if act == "silu":
+        ref = F.silu(ref)
+    out = group_norm_act(x, gamma, beta, G, 1e-5, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_group_norm_act_grad(rng):
+    B, H, W, C, G = 2, 4, 4, 64, 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    gamma = jnp.asarray(rng.standard_normal(C, dtype=np.float32) * 0.2 + 1)
+    beta = jnp.asarray(rng.standard_normal(C, dtype=np.float32) * 0.1)
+    dout = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+
+    def ref_loss(x, g, b):
+        return jnp.sum(F.silu(F.group_norm(x, g, b, num_groups=G)) * dout)
+
+    def pl_loss(x, g, b):
+        return jnp.sum(group_norm_act(x, g, b, G, 1e-5, "silu") * dout)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(x, gamma, beta)
+    pl_grads = jax.grad(pl_loss, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(pl_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_group_norm_act_bf16(rng):
+    B, H, W, C, G = 2, 4, 4, 64, 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    gamma = jnp.ones((C,), jnp.bfloat16)
+    beta = jnp.zeros((C,), jnp.bfloat16)
+    out = group_norm_act(x.astype(jnp.bfloat16), gamma, beta, G, 1e-5,
+                         "silu")
+    assert out.dtype == jnp.bfloat16
+    ref = F.silu(F.group_norm(x, jnp.ones(C), jnp.zeros(C), num_groups=G))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=3e-2)

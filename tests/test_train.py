@@ -11,6 +11,7 @@ production trainer's lr=1e-4, wd=0.0.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from unet_tpu.config import TrainConfig
@@ -103,3 +104,117 @@ def test_rng_train_step_runs(small_cfg, rng):
         losses.append(float(loss))
     assert int(state.step) == 8
     assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_multi_step_matches_single_steps(small_cfg, rng):
+    """lax.scan multi-step == K independent single steps (same RNG fold)."""
+    params, _ = make_params_and_flat(small_cfg)
+    B, S, K = 2, small_cfg.image_size, 3
+    # large eps: Adam's g/(sqrt(v)+eps) would otherwise amplify the ~1 ULP
+    # grad difference between the scanned and unrolled programs into
+    # O(lr) param noise on near-zero-grad tensors
+    tc = TrainConfig(batch_size=B, lr=1e-3, eps=1e-3)
+    batches = rng.standard_normal((K, B, S, S, 3),
+                                  dtype=np.float32) * 0.5
+
+    step_fn, _ = trainer.make_train_step(small_cfg, tc, donate=False)
+    s1 = trainer.init_state(params, seed=5)
+    single_losses = []
+    for i in range(K):
+        s1, loss = step_fn(s1, jnp.asarray(batches[i]))
+        single_losses.append(float(loss))
+
+    ms = trainer.make_multi_step(small_cfg, tc, donate=False)
+    s2 = trainer.init_state(params, seed=5)
+    s2, losses = ms(s2, jnp.asarray(batches))
+    np.testing.assert_allclose(np.asarray(losses), single_losses, rtol=1e-6)
+    # scan and unrolled programs fuse differently -> ~1 ULP param drift
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(s2.step) == K
+
+
+def test_flat_multi_step_matches_pytree(small_cfg, rng):
+    """Flat-master-parameter fast path == pytree path."""
+    params, _ = make_params_and_flat(small_cfg)
+    B, S, K = 2, small_cfg.image_size, 2
+    tc = TrainConfig(batch_size=B, lr=1e-3, eps=1e-3)  # see above
+    batches = jnp.asarray(rng.standard_normal((K, B, S, S, 3),
+                                              dtype=np.float32) * 0.5)
+
+    ms = trainer.make_multi_step(small_cfg, tc, donate=False)
+    s1 = trainer.init_state(params, seed=5)
+    s1, losses1 = ms(s1, batches)
+
+    fstate, unravel = trainer.flatten_state(params, seed=5)
+    fms = trainer.make_flat_multi_step(small_cfg, tc, unravel,
+                                       donate=False)
+    fstate, losses2 = fms(fstate, batches)
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1),
+                               rtol=1e-5)
+    p1 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(s1.params)])
+    p2_tree = unravel(fstate.flat)
+    p2 = np.concatenate([np.asarray(a).ravel()
+                         for a in jax.tree.leaves(p2_tree)])
+    np.testing.assert_allclose(p1, p2, atol=2e-6)
+
+
+def test_cross_framework_rng_trajectory(small_cfg, rng):
+    """Bit-identical RNG streams on both sides (the reference's dev/rand.h
+    strategy, SURVEY.md section 3.5): torch draws via manual_seed; the jax
+    side draws the SAME timesteps/noise from the native TorchRng MT19937.
+    Unlike test_training_trajectory_parity (shared numpy draws), this
+    exercises the actual cross-framework RNG contract."""
+    pytest.importorskip("unet_tpu.utils.native")
+    from unet_tpu.utils.native import TorchRng
+
+    params, flat = make_params_and_flat(small_cfg)
+    tmodel = TorchUnet(small_cfg, flat)
+    B, S, T = 2, small_cfg.image_size, small_cfg.max_period
+    steps = 4
+    diffusion = GaussianDiffusion.create(named_beta_schedule("linear", T))
+    sqrt_ac = np.asarray(diffusion.sqrt_alphas_cumprod)
+    sqrt_1mac = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
+    batches = rng.standard_normal((steps, B, 3, S, S),
+                                  dtype=np.float32) * 0.5
+
+    # torch side: torch.manual_seed-driven draws
+    torch.manual_seed(123)
+    opt = torch.optim.AdamW(tmodel.params, lr=1e-3, weight_decay=0.01)
+    torch_losses = []
+    for i in range(steps):
+        opt.zero_grad()
+        ts = torch.floor(
+            torch.rand(B) * T).float()
+        noise = torch.zeros(B, 3, S, S)
+        noise.normal_()
+        ti = ts.long().numpy()
+        a = torch.tensor(sqrt_ac[ti])[:, None, None, None]
+        b = torch.tensor(sqrt_1mac[ti])[:, None, None, None]
+        x_t = a * torch.tensor(batches[i]) + b * noise
+        out = tmodel.forward(x_t, ts)
+        loss = torch.mean((out - noise) ** 2)
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # jax side: same draws from the native MT19937
+    try:
+        hrng = TorchRng(123)
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    tc = TrainConfig(batch_size=B, lr=1e-3, weight_decay=0.01)
+    _, step_with = trainer.make_train_step(small_cfg, tc, diffusion,
+                                           donate=False)
+    state = trainer.init_state(params)
+    jax_losses = []
+    for i in range(steps):
+        ts = hrng.timesteps(B, T)
+        noise = hrng.normal((B, 3, S, S)).transpose(0, 2, 3, 1)
+        state, loss = step_with(
+            state, jnp.asarray(batches[i].transpose(0, 2, 3, 1)),
+            jnp.asarray(ts), jnp.asarray(noise))
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)

@@ -19,6 +19,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from unet_tpu.config import TrainConfig, UnetConfig
@@ -57,6 +58,9 @@ def defaults() -> dict:
         compute_dtype="float32",   # float32 | bfloat16
         remat=False,
         shuffle=False,
+        host_rng=False,            # torch-bit-exact MT19937 timestep/noise
+        #                            draws on host (cross-framework
+        #                            trajectory parity, dev/rand.h role)
         num_devices=0,             # 0 = all visible devices (data parallel)
         output_dir="models",
         csv_log_dir="",
@@ -71,6 +75,9 @@ def create_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = create_argparser().parse_args(argv)
+    if not args.init_model_only and not os.path.exists(args.data_file):
+        raise SystemExit(f"train: data file not found: {args.data_file} "
+                         "(create one with unet_tpu.cli.prepare_data)")
     cfg = UnetConfig(model_channels=args.num_channels,
                      num_res_blocks=args.num_res_blocks,
                      image_size=args.image_size,
@@ -112,6 +119,11 @@ def main(argv=None) -> None:
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
     n_dev = args.num_devices or len(jax.devices())
+    multi = host_rng = None
+    if args.host_rng:
+        from unet_tpu.utils.native import TorchRng
+        host_rng = TorchRng(args.seed)
+        n_dev = 1
     if n_dev > 1:
         m = pmesh.make_mesh(data=n_dev,
                             devices=jax.devices()[:n_dev])
@@ -119,8 +131,16 @@ def main(argv=None) -> None:
         state = pmesh.shard_state(state, m)
         global_batch = tc.batch_size * n_dev
     else:
-        step_fn, _ = trainer.make_train_step(cfg, tc, diffusion)
+        step_fn, step_with = trainer.make_train_step(cfg, tc, diffusion)
         global_batch = tc.batch_size
+        if (not args.host_rng
+                and tc.log_interval > 1
+                and tc.save_interval % tc.log_interval == 0
+                and start_step % tc.log_interval == 0
+                and tc.iterations % tc.log_interval == 0):
+            # scan log_interval steps into one dispatch (cuts per-step
+            # host overhead; losses still reported per step)
+            multi = trainer.make_multi_step(cfg, tc, diffusion)
     loader = dataset.data_loader(args.data_file, global_batch,
                                  shuffle=tc.shuffle, seed=args.seed)
 
@@ -130,11 +150,32 @@ def main(argv=None) -> None:
     counter = trainer.LossCounter()
     os.makedirs(args.output_dir, exist_ok=True)
     t_flush = time.perf_counter()
-    for it in range(start_step + 1, tc.iterations + 1):
-        batch = next(loader)
-        state, loss = step_fn(state, batch)
-        counter.add(loss)  # device->host sync point, like the reference's
-        #                    per-step loss D2H copy (train_unet.cu:4419)
+    it = start_step
+    while it < tc.iterations:
+        if multi is not None:
+            k = tc.log_interval
+            kbatch = np.stack([next(loader) for _ in range(k)])
+            state, losses = multi(state, kbatch)
+            for l in np.asarray(losses):
+                counter.add(float(l))
+            it += k
+        elif host_rng is not None:
+            # reference dev/unet_test.cu:274-284 semantics: timesteps =
+            # floor(u * T); noise drawn in torch's NCHW element order
+            batch = next(loader)
+            t = host_rng.timesteps(batch.shape[0], cfg.max_period)
+            noise = host_rng.normal(
+                (batch.shape[0], cfg.in_channels,
+                 cfg.image_size, cfg.image_size)).transpose(0, 2, 3, 1)
+            state, loss = step_with(state, batch, jnp.asarray(t),
+                                    jnp.asarray(noise))
+            counter.add(loss)
+            it += 1
+        else:
+            state, loss = step_fn(state, next(loader))
+            counter.add(loss)  # device->host sync, like the reference's
+            #                    per-step loss D2H copy (train_unet.cu:4419)
+            it += 1
         if it % tc.log_interval == 0:
             dt = (time.perf_counter() - t_flush) / tc.log_interval
             mean_loss = counter.mean_and_reset()

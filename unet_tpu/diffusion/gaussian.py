@@ -75,9 +75,12 @@ class GaussianDiffusion:
 
     def q_sample(self, x_start, t, noise):
         """x_t = sqrt(abar_t) x_0 + sqrt(1-abar_t) eps, NHWC batch
-        (reference train_unet.py:894-912, train_unet.cu:3200-3229)."""
-        a = self.sqrt_alphas_cumprod[t][:, None, None, None]
-        b = self.sqrt_one_minus_alphas_cumprod[t][:, None, None, None]
+        (reference train_unet.py:894-912, train_unet.cu:3200-3229).
+        t may be int or float (the reference carries timesteps as floats,
+        indexing by truncation — train_unet.cu:3217-3229)."""
+        ti = t.astype(jnp.int32)
+        a = self.sqrt_alphas_cumprod[ti][:, None, None, None]
+        b = self.sqrt_one_minus_alphas_cumprod[ti][:, None, None, None]
         return (a * x_start.astype(jnp.float32)
                 + b * noise.astype(jnp.float32))
 

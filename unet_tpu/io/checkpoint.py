@@ -156,11 +156,32 @@ def save(path: str, ckpt: Checkpoint,
             f.write(flatten_params(ckpt.adam_v, cfg, num_classes).tobytes())
 
 
+def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,
+                  num_classes: Optional[int] = None) -> Checkpoint:
+    """Load a torch .pt/.pth state_dict checkpoint (the reference's other
+    checkpoint flavor, generate.py:12-16): tensor values are concatenated
+    in state_dict order — identical to named_parameters() order for this
+    model, and unaffected by torch.compile's `_orig_mod.` key prefix."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(state, dict):
+        raise ValueError(f"{path}: expected a state_dict")
+    flat = np.concatenate([
+        np.asarray(v.detach().float().numpy(), np.float32).ravel()
+        for v in state.values() if hasattr(v, "detach")])
+    if cfg is None:
+        cfg = UnetConfig()
+    return Checkpoint(params=unflatten_params(flat, cfg, num_classes),
+                      cfg=cfg, batch_size=0)
+
+
 def load(path: str, cfg: Optional[UnetConfig] = None,
          num_classes: Optional[int] = None) -> Checkpoint:
-    """Load a .bin checkpoint written by us, by the reference CUDA trainer,
-    or by `train_unet.py --init_model_only` (reference
-    train_unet.cu:4819-4911)."""
+    """Load a checkpoint: .bin written by us / the reference CUDA trainer /
+    `train_unet.py --init_model_only` (reference train_unet.cu:4819-4911),
+    or a torch .pt/.pth state_dict (reference generate.py:12-27)."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        return load_torch_pt(path, cfg, num_classes)
     with open(path, "rb") as f:
         header = np.frombuffer(f.read(HEADER_INTS * 4), dtype=np.int32)
         if header[0] != MAGIC:
