@@ -44,6 +44,10 @@ def main() -> None:
                         help="headline compute dtype (bf16 = TPU-native "
                              "mixed precision, fp32 accumulate)")
     parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--image_size", type=int, default=64,
+                        help="64 = the reference benchmark config; 128 = "
+                             "the BASELINE stretch goal")
+    parser.add_argument("--remat", action="store_true")
     parser.add_argument("--no-secondary", action="store_true")
     args = parser.parse_args()
 
@@ -60,20 +64,22 @@ def main() -> None:
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
 
-    cfg = UnetConfig()  # reference production config (B=32 below)
-    B = 32
+    cfg = UnetConfig(image_size=args.image_size)
+    B = 32  # reference production batch
     rng = np.random.default_rng(0)
     params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
     diffusion = GaussianDiffusion.create(
         named_beta_schedule("linear", cfg.max_period))
 
+    S = cfg.image_size
     batches = [jnp.asarray(rng.standard_normal(
-        (B, 64, 64, 3)).astype(np.float32) * 0.5) for _ in range(4)]
+        (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(4)]
 
     def bench_step(dtype_name, K=10):
         # production path: K steps scanned into one XLA program
         # (amortizes per-dispatch host overhead, ~3 ms/step on this host)
-        tc = TrainConfig(batch_size=B, compute_dtype=dtype_name)
+        tc = TrainConfig(batch_size=B, compute_dtype=dtype_name,
+                         remat=args.remat)
         ms_fn = trainer.make_multi_step(cfg, tc, diffusion)
         state = trainer.init_state(
             jax.tree.map(jnp.array, params))  # private copy: step donates
@@ -113,7 +119,8 @@ def main() -> None:
 
     baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
     print(json.dumps({
-        "metric": "imagenet64_train_step_ms",
+        "metric": f"imagenet{args.image_size}_train_step_ms"
+                  if args.image_size != 64 else "imagenet64_train_step_ms",
         "value": round(headline_ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / headline_ms, 3),

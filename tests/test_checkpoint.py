@@ -145,3 +145,34 @@ def test_torch_pt_checkpoint_load(small_cfg, tmp_path):
     loaded = ckpt_io.load(path, small_cfg)
     np.testing.assert_array_equal(
         ckpt_io.flatten_params(loaded.params, small_cfg), flat)
+
+
+def test_data_loader_flip_and_image_dir(tmp_path, rng):
+    from PIL import Image
+    # flip: with flip=True some batches differ from unflipped, and every
+    # row is either identical or exactly mirrored
+    imgs = rng.standard_normal((6, 3, 8, 8)).astype(np.float32)
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, imgs)
+    plain = next(dataset.data_loader(path, 6))
+    flipped = next(dataset.data_loader(path, 6, flip=True, seed=1))
+    same = mirrored = 0
+    for i in range(6):
+        if np.array_equal(flipped[i], plain[i]):
+            same += 1
+        elif np.array_equal(flipped[i], plain[i, :, ::-1]):
+            mirrored += 1
+    assert same + mirrored == 6 and mirrored > 0
+
+    # image_dir_loader: labels from filename prefix (reference
+    # train_unet.py:498-502)
+    d = os.path.join(tmp_path, "imgs")
+    os.makedirs(d)
+    for cls in ("cat", "dog"):
+        for i in range(2):
+            arr = (rng.uniform(0, 255, (8, 8, 3))).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{cls}_{i}.png"))
+    batch, labels = next(dataset.image_dir_loader(
+        d, 4, size=8, class_cond=True))
+    assert batch.shape == (4, 8, 8, 3)
+    assert sorted(labels.tolist()) == [0, 0, 1, 1]

@@ -96,3 +96,29 @@ def test_train_cli_short_run(tmp_path):
     ckpt = ckpt_io.load(os.path.join(outdir, "model_3.bin"))
     assert ckpt.step == 3
     assert ckpt.adam_m is not None
+
+
+def test_train_cli_log_norms(tmp_path):
+    """--log_norms logs grad/param norms (reference
+    train_unet.py:1022-1027 surface)."""
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.data import dataset
+
+    data = os.path.join(tmp_path, "train.bin")
+    imgs = (np.random.default_rng(0)
+            .standard_normal((4, 3, 16, 16)).astype(np.float32) * 0.3)
+    dataset.write_bin(data, imgs)
+    csvdir = os.path.join(tmp_path, "csv")
+    cli_train.main([
+        "--data_file", data, "--log_file", os.path.join(tmp_path, "l.txt"),
+        "--image_size", "16", "--num_channels", "32",
+        "--batch_size", "2", "--iterations", "2",
+        "--log_interval", "1", "--save_interval", "2",
+        "--output_dir", os.path.join(tmp_path, "m"),
+        "--num_devices", "1", "--log_norms", "true",
+        "--csv_log_dir", csvdir,
+    ])
+    csvs = [f for f in os.listdir(csvdir) if f.endswith(".csv")]
+    assert csvs, "csv log written"
+    header = open(os.path.join(csvdir, csvs[0])).readline().strip()
+    assert "grad_norm" in header and "param_norm" in header

@@ -198,3 +198,31 @@ def test_resblock_updown(rng):
             p, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(emb))
         np.testing.assert_allclose(
             np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+def test_class_conditional_forward(rng):
+    """Class-conditional plumbing (label_emb added to the time embedding)
+    — present-but-unused in the reference (train_unet.py:320-321,
+    class_cond defaults False); functional here."""
+    from unet_tpu.config import UnetConfig
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2,),
+                     channel_mult=(1, 2))
+    N_CLASSES = 10
+    params = unet.init(jax.random.PRNGKey(0), cfg, num_classes=N_CLASSES)
+    assert "label_emb" in params
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    t = jnp.asarray([3.0, 500.0])
+    y = jnp.asarray([1, 7])
+    out = jax.jit(lambda p, x, t, y: unet.apply(p, cfg, x, t, y))(
+        params, x, t, y)
+    assert out.shape == (2, 16, 16, 3)
+    # different labels must change the output
+    out2 = jax.jit(lambda p, x, t, y: unet.apply(p, cfg, x, t, y))(
+        params, x, t, jnp.asarray([2, 7]))
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(out2[1]))
+    # flat round-trip includes the label embedding
+    flat = ckpt_io.flatten_params(params, cfg, num_classes=N_CLASSES)
+    p2 = ckpt_io.unflatten_params(flat, cfg, num_classes=N_CLASSES)
+    np.testing.assert_array_equal(
+        np.asarray(p2["label_emb"]), np.asarray(params["label_emb"]))

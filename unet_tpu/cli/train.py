@@ -58,9 +58,12 @@ def defaults() -> dict:
         compute_dtype="float32",   # float32 | bfloat16
         remat=False,
         shuffle=False,
+        flip=False,                # p=0.5 horizontal flip augmentation
         host_rng=False,            # torch-bit-exact MT19937 timestep/noise
         #                            draws on host (cross-framework
         #                            trajectory parity, dev/rand.h role)
+        log_norms=False,           # grad/param norms + peak memory
+        #                            (reference train_unet.py:1022-1036)
         num_devices=0,             # 0 = all visible devices (data parallel)
         output_dir="models",
         csv_log_dir="",
@@ -131,9 +134,13 @@ def main(argv=None) -> None:
         state = pmesh.shard_state(state, m)
         global_batch = tc.batch_size * n_dev
     else:
-        step_fn, step_with = trainer.make_train_step(cfg, tc, diffusion)
+        if args.log_norms:
+            step_fn = trainer.make_train_step_aux(cfg, tc, diffusion)
+            step_with = None
+        else:
+            step_fn, step_with = trainer.make_train_step(cfg, tc, diffusion)
         global_batch = tc.batch_size
-        if (not args.host_rng
+        if (not args.host_rng and not args.log_norms
                 and tc.log_interval > 1
                 and tc.save_interval % tc.log_interval == 0
                 and start_step % tc.log_interval == 0
@@ -142,7 +149,8 @@ def main(argv=None) -> None:
             # host overhead; losses still reported per step)
             multi = trainer.make_multi_step(cfg, tc, diffusion)
     loader = dataset.data_loader(args.data_file, global_batch,
-                                 shuffle=tc.shuffle, seed=args.seed)
+                                 shuffle=tc.shuffle, flip=args.flip,
+                                 seed=args.seed)
 
     # --- loop (reference train_unet.cu:5019-5058) ---
     text_log = TextLog(args.log_file)
@@ -171,6 +179,13 @@ def main(argv=None) -> None:
                                     jnp.asarray(noise))
             counter.add(loss)
             it += 1
+        elif args.log_norms:
+            state, aux = step_fn(state, next(loader))
+            counter.add(aux["loss"])
+            kv_log.logkv_mean("grad_norm_mean", float(aux["grad_norm"]))
+            kv_log.logkv("grad_norm", float(aux["grad_norm"]))
+            kv_log.logkv_mean("param_norm", float(aux["param_norm"]))
+            it += 1
         else:
             state, loss = step_fn(state, next(loader))
             counter.add(loss)  # device->host sync, like the reference's
@@ -184,6 +199,10 @@ def main(argv=None) -> None:
             kv_log.logkv("step", it)
             kv_log.logkv("loss", mean_loss)
             kv_log.logkv("ms_per_step", dt * 1e3)
+            if args.log_norms:
+                peak = trainer.device_peak_memory_mib()
+                if peak is not None:
+                    kv_log.logkv("peak_mem_MiB", round(peak, 1))
             kv_log.dumpkvs()
             t_flush = time.perf_counter()
         if it % tc.save_interval == 0:

@@ -98,26 +98,84 @@ class BinDataset:
             self._mmap[indices].transpose(0, 2, 3, 1), dtype=np.float32)
 
 
+def image_dir_loader(data_dir: str, batch_size: int, *, size: int = 64,
+                     class_cond: bool = False, randomize: bool = False,
+                     seed: int = 0) -> Iterator:
+    """Infinite NHWC batch iterator directly over a directory of images —
+    the torch trainer's data surface (reference train_unet.py:490-536):
+    optional p=0.5 horizontal flip and shuffling when `randomize`, and
+    class labels derived from the filename prefix before '_' when
+    `class_cond` (yielding (batch, labels) tuples).
+    """
+    from PIL import Image
+
+    files = _list_images(data_dir)
+    if not files:
+        raise ValueError(f"no images under {data_dir}")
+    labels = None
+    if class_cond:
+        names = [os.path.basename(p).split("_")[0] for p in files]
+        class_of = {x: i for i, x in enumerate(sorted(set(names)))}
+        labels = np.asarray([class_of[x] for x in names], np.int32)
+    rng = np.random.default_rng(seed)
+
+    def load(idx):
+        img = Image.open(files[idx]).convert("RGB")
+        if img.size != (size, size):
+            side = min(img.size)
+            left = (img.width - side) // 2
+            top = (img.height - side) // 2
+            img = img.crop((left, top, left + side, top + side))
+            img = img.resize((size, size), Image.BICUBIC)
+        arr = np.asarray(img).astype(np.float32) / 127.5 - 1.0
+        if randomize and rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        return arr  # HWC
+
+    n = len(files)
+    while True:
+        order = rng.permutation(n) if randomize else np.arange(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            batch = np.stack([load(j) for j in idx])
+            if class_cond:
+                yield batch, labels[idx]
+            else:
+                yield batch
+
+
 def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
+                flip: bool = False,
                 seed: int = 0, num_shards: int = 1, shard_index: int = 0,
                 ) -> Iterator[np.ndarray]:
     """Infinite NHWC batch iterator.
 
     Default (shuffle=False) matches the reference loader: sequential
-    fixed-stride batches wrapping at EOF (train_unet.cu:3085-3096).  With
-    num_shards > 1, each shard reads a disjoint interleaved slice for
-    data-parallel training (no reference analog; parallelism is
-    green-field per SURVEY.md section 2.8).
+    fixed-stride batches wrapping at EOF (train_unet.cu:3085-3096).
+    flip=True applies the torch pipeline's p=0.5 horizontal flip
+    (reference train_unet.py:527-528).  With num_shards > 1, each shard
+    reads a disjoint interleaved slice for data-parallel training (no
+    reference analog; parallelism is green-field per SURVEY.md
+    section 2.8).
     """
     ds = BinDataset(path)
     n = len(ds)
     rng = np.random.default_rng(seed)
+
+    def maybe_flip(batch):
+        if not flip:
+            return batch
+        mask = rng.random(batch.shape[0]) < 0.5
+        batch = batch.copy()
+        batch[mask] = batch[mask, :, ::-1]  # flip width (NHWC axis 2)
+        return batch
+
     if shuffle:
         while True:
             perm = rng.permutation(n)
             perm = perm[shard_index::num_shards]
             for i in range(0, len(perm) - batch_size + 1, batch_size):
-                yield ds.batch_nhwc(perm[i:i + batch_size])
+                yield maybe_flip(ds.batch_nhwc(perm[i:i + batch_size]))
     else:
         pos = 0
         idx = np.arange(n)[shard_index::num_shards]
@@ -125,5 +183,5 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
         while True:
             if pos + batch_size > m:
                 pos = 0
-            yield ds.batch_nhwc(idx[pos:pos + batch_size])
+            yield maybe_flip(ds.batch_nhwc(idx[pos:pos + batch_size]))
             pos += batch_size

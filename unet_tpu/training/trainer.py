@@ -126,6 +126,57 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
+def tree_sq_norm(tree) -> jnp.ndarray:
+    """Sum of squared L2 norms over all leaves — the reference's norm
+    metric (compute_norms, reference train_unet.py:937-945, which logs
+    the SUM OF SQUARES, not its square root)."""
+    return sum(jnp.sum(jnp.square(a.astype(jnp.float32)))
+               for a in jax.tree.leaves(tree))
+
+
+def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
+                        diffusion: Optional[GaussianDiffusion] = None,
+                        donate: bool = True):
+    """Like make_train_step but returns
+    `(state, {"loss", "grad_norm", "param_norm"})` for the torch trainer's
+    observability surface (reference train_unet.py:1022-1027)."""
+    if diffusion is None:
+        diffusion = GaussianDiffusion.create(
+            named_beta_schedule("linear", cfg.max_period))
+    hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
+                           eps=tc.eps, weight_decay=tc.weight_decay)
+    loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
+
+    def train_step(state: TrainState, batch):
+        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t = jax.random.randint(t_key, (batch.shape[0],), 0,
+                               diffusion.num_timesteps)
+        noise = jax.random.normal(n_key, batch.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, t, noise)
+        aux = {"loss": loss,
+               "grad_norm": tree_sq_norm(grads),
+               "param_norm": tree_sq_norm(state.params)}
+        new_step = state.step + 1
+        params, m, v = optim.adamw_update(
+            state.params, grads, state.m, state.v, new_step, hp)
+        return state._replace(params=params, m=m, v=v, step=new_step,
+                              rng=rng), aux
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def device_peak_memory_mib() -> Optional[float]:
+    """Peak device memory in MiB (the reference logs
+    torch.cuda.max_memory_allocated, train_unet.py:1036)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return None if peak is None else peak / (1024 * 1024)
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Flat-master-parameter fast path.  Master params + AdamW moments live in
 # one contiguous f32 vector (the reference's arena layout,
