@@ -108,14 +108,17 @@ def main() -> None:
         print(f"unet_fwd {args.dtype} B={B}: {fwd_ms:.2f} ms",
               file=sys.stderr)
 
-        sampler = make_sampler(cfg, diffusion, batch_size=8,
+        SB = 32
+        sampler = make_sampler(cfg, diffusion, batch_size=SB,
                                compute_dtype=jnp.dtype(args.dtype))
+        imgs = sampler(params, jax.random.PRNGKey(0))  # compile
+        jax.block_until_ready(imgs)
         t0 = time.perf_counter()
-        imgs = sampler(params, jax.random.PRNGKey(0))
+        imgs = sampler(params, jax.random.PRNGKey(1))
         jax.block_until_ready(imgs)
         dt = time.perf_counter() - t0
-        print(f"ddpm_sample B=8 (998 steps): {dt:.2f} s "
-              f"= {8 / dt:.3f} samples/s", file=sys.stderr)
+        print(f"ddpm_sample B={SB} ({cfg.max_period - 2} steps): "
+              f"{dt:.2f} s = {SB / dt:.3f} samples/s", file=sys.stderr)
 
     baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
     print(json.dumps({

@@ -12,6 +12,10 @@ An optional "model" mesh axis spatially shards activations (height dim)
 inside each replica — XLA GSPMD performs the conv halo exchanges.  This is
 the TPU analog of tensor/sequence parallelism for a convnet and becomes
 profitable only at large image sizes (BASELINE stretch: 128x128+).
+
+fsdp=True shards parameters and AdamW moments over the data axis
+(ZeRO-3 style; all-gather on use, reduce-scatter on grads) for models
+whose state exceeds one chip's HBM.
 """
 
 from __future__ import annotations
@@ -53,14 +57,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_sharding(mesh: Mesh, params) -> "object":
+    """Pytree of shardings that shards each parameter/optimizer-state leaf
+    over the 'data' axis (ZeRO-3 style): the largest dim divisible by the
+    axis size is sharded; indivisible leaves stay replicated.  XLA/GSPMD
+    inserts the all-gathers before use and reduce-scatters on the grads.
+    Cuts per-chip param+moment memory ~Nx — needed at the 128x128+
+    stretch scales, irrelevant for the 20M-param base model."""
+    n = mesh.shape["data"]
+
+    def spec(a):
+        dims = getattr(a, "shape", ())
+        best = -1
+        for i, d in enumerate(dims):
+            if d % n == 0 and d >= n and (best < 0 or d > dims[best]):
+                best = i
+        if best < 0:
+            return NamedSharding(mesh, P())
+        parts = [None] * len(dims)
+        parts[best] = "data"
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree.map(spec, params)
+
+
 def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
                              diffusion: Optional[GaussianDiffusion] = None,
-                             *, spatial: bool = False, donate: bool = True):
+                             *, spatial: bool = False, fsdp: bool = False,
+                             donate: bool = True,
+                             example_params=None):
     """Jitted `train_step(state, global_batch) -> (state, loss)` over the
     mesh.  `global_batch` is (B_global, H, W, C); B_global must divide by
     the data-axis size.  State is replicated; loss is the global mean, so
     XLA all-reduces gradients over ICI exactly like the reference's
     "same math as 1 device with bigger batch" target (SURVEY.md 2.8).
+
+    fsdp=True additionally shards params and AdamW moments over the
+    'data' axis (requires `example_params` to derive the sharding tree;
+    see fsdp_sharding).  Use shard_state(state, mesh, fsdp_tree) to place
+    the initial state.
     """
     if diffusion is None:
         diffusion = GaussianDiffusion.create(
@@ -86,16 +121,34 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
                               rng=rng), loss
 
     rep = replicated(mesh)
+    if fsdp:
+        assert example_params is not None, "fsdp needs example_params"
+        ptree = fsdp_sharding(mesh, example_params)
+        state_sh = trainer.TrainState(params=ptree, m=ptree, v=ptree,
+                                      step=rep, rng=rep)
+    else:
+        state_sh = rep
     return jax.jit(
         train_step,
-        in_shardings=(rep, x_shard),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, x_shard),
+        out_shardings=(state_sh, rep),
         donate_argnums=(0,) if donate else (),
     )
 
 
-def shard_state(state: trainer.TrainState, mesh: Mesh) -> trainer.TrainState:
-    """Place (replicate) a TrainState onto the mesh."""
+def shard_state(state: trainer.TrainState, mesh: Mesh,
+                fsdp: bool = False) -> trainer.TrainState:
+    """Place a TrainState onto the mesh (replicated, or FSDP-sharded
+    params/moments when fsdp=True)."""
+    if fsdp:
+        ptree = fsdp_sharding(mesh, state.params)
+        rep = replicated(mesh)
+        return trainer.TrainState(
+            params=jax.device_put(state.params, ptree),
+            m=jax.device_put(state.m, ptree),
+            v=jax.device_put(state.v, ptree),
+            step=jax.device_put(state.step, rep),
+            rng=jax.device_put(state.rng, rep))
     return jax.device_put(state, replicated(mesh))
 
 
