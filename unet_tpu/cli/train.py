@@ -159,11 +159,17 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     t_flush = time.perf_counter()
     it = start_step
+    kbatch_next = None
     while it < tc.iterations:
         if multi is not None:
             k = tc.log_interval
-            kbatch = np.stack([next(loader) for _ in range(k)])
-            state, losses = multi(state, kbatch)
+            if kbatch_next is None:
+                kbatch_next = np.stack([next(loader) for _ in range(k)])
+            state, losses = multi(state, kbatch_next)
+            # jax dispatch is async: assemble the NEXT chunk while the
+            # device runs this one, then block on the losses
+            kbatch_next = (np.stack([next(loader) for _ in range(k)])
+                           if it + k < tc.iterations else None)
             for l in np.asarray(losses):
                 counter.add(float(l))
             it += k

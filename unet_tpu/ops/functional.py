@@ -93,14 +93,17 @@ def group_norm_silu(x, gamma, beta, *, num_groups=32, eps=1e-5,
     """GroupNorm fused with SiLU (or plain GN with act="none").
 
     UNET_TPU_PALLAS=1 runs the Pallas fused kernel
-    (ops/pallas/groupnorm.py) on TPU.  Default is the XLA expression:
-    measured on a v5e (B=32 ImageNet-64 train step) the hand kernel is
-    SLOWER (30.6 vs 17.7 ms/step) — XLA's convert+reduce fusions beat the
-    per-batch-program kernel, whose tiny (1,C)x(C,G) group matmuls and
-    chunked recompute underutilize the MXU/VPU.  Both paths are
+    (ops/pallas/groupnorm.py) on TPU.  Default is the XLA expression.
+
+    Measured on a v5e: standalone, the kernel BEATS XLA's fusions
+    (fwd 0.019 vs 0.025 ms at 32x64x64x64); inside the full train step it
+    LOSES (31.2 vs 20.7 ms/step) because XLA pins custom-call operands to
+    default {3,2,1,0} layouts while it lays activations out {3,0,2,1}
+    for the convs — every GN call gets layout-transpose copies on input
+    and output, in both fwd and bwd.  Until Mosaic accepts non-default
+    operand layouts, the XLA path wins in situ.  Both paths are
     numerically identical (fp32 two-pass stats) and covered by
-    tests/test_pallas.py, so the kernel stays available for bisection
-    and future tuning.
+    tests/test_pallas.py.
     """
     if _PALLAS_GN and jax.default_backend() == "tpu":
         from unet_tpu.ops.pallas.groupnorm import group_norm_act

@@ -67,20 +67,23 @@ def _fwd_kernel(x_ref, gamma_ref, beta_ref, mmat_ref,
         return x_ref[0, i * ch:(i + 1) * ch].astype(jnp.float32) \
             .reshape(ch * W, C)
 
-    gsum = jnp.zeros((1, G), jnp.float32)
+    # accumulate per-CHANNEL sums on the VPU; group-reduce ONCE at the
+    # end (v1 ran 3 tiny GEMVs per chunk per program — MXU-latency-bound)
+    csum = jnp.zeros((1, C), jnp.float32)
     for i in range(nch):
-        gsum += jnp.dot(jnp.sum(chunk(i), axis=0, keepdims=True), mmat,
-                        preferred_element_type=jnp.float32)
-    mean_g = gsum * inv_n                                    # (1, G)
+        csum += jnp.sum(chunk(i), axis=0, keepdims=True)
+    mean_g = jnp.dot(csum, mmat,
+                     preferred_element_type=jnp.float32) * inv_n  # (1, G)
     mean_c = jnp.dot(mean_g, mmat.T,
                      preferred_element_type=jnp.float32)     # (1, C)
 
-    vsum = jnp.zeros((1, G), jnp.float32)
+    vsum = jnp.zeros((1, C), jnp.float32)
     for i in range(nch):
         xc = chunk(i) - mean_c
-        vsum += jnp.dot(jnp.sum(xc * xc, axis=0, keepdims=True), mmat,
-                        preferred_element_type=jnp.float32)
-    rstd_g = jax.lax.rsqrt(vsum * inv_n + eps)               # (1, G)
+        vsum += jnp.sum(xc * xc, axis=0, keepdims=True)
+    rstd_g = jax.lax.rsqrt(
+        jnp.dot(vsum, mmat, preferred_element_type=jnp.float32) * inv_n
+        + eps)                                               # (1, G)
     rstd_c = jnp.dot(rstd_g, mmat.T,
                      preferred_element_type=jnp.float32)
 
@@ -126,23 +129,24 @@ def _bwd_kernel(x_ref, gamma_ref, beta_ref, mean_ref, rstd_ref, mmat_ref,
 
     dbeta = jnp.zeros((1, C), jnp.float32)
     dgamma = jnp.zeros((1, C), jnp.float32)
-    t1 = jnp.zeros((1, G), jnp.float32)
-    t2 = jnp.zeros((1, G), jnp.float32)
     for i in range(nch):
         xhat, dz = pieces(i)
-        dxhat = dz * gamma
         dbeta += jnp.sum(dz, axis=0, keepdims=True)
         dgamma += jnp.sum(dz * xhat, axis=0, keepdims=True)
-        t1 += jnp.dot(jnp.sum(dxhat, axis=0, keepdims=True), mmat,
-                      preferred_element_type=jnp.float32)
-        t2 += jnp.dot(jnp.sum(dxhat * xhat, axis=0, keepdims=True), mmat,
-                      preferred_element_type=jnp.float32)
     dbeta_ref[0] = dbeta
     dgamma_ref[0] = dgamma
 
-    # dx = rstd * (dxhat - mean_g(dxhat) - xhat * mean_g(dxhat * xhat))
-    t1c = jnp.dot(t1 * inv_n, mmat.T, preferred_element_type=jnp.float32)
-    t2c = jnp.dot(t2 * inv_n, mmat.T, preferred_element_type=jnp.float32)
+    # dx = rstd * (dxhat - mean_g(dxhat) - xhat * mean_g(dxhat * xhat));
+    # the two group means derive from the dgamma/dbeta accumulators:
+    # sum_hw(dxhat) = dbeta_c * gamma, sum_hw(dxhat*xhat) = dgamma_c * gamma
+    t1c = jnp.dot(
+        jnp.dot(dbeta * gamma, mmat,
+                preferred_element_type=jnp.float32) * inv_n,
+        mmat.T, preferred_element_type=jnp.float32)
+    t2c = jnp.dot(
+        jnp.dot(dgamma * gamma, mmat,
+                preferred_element_type=jnp.float32) * inv_n,
+        mmat.T, preferred_element_type=jnp.float32)
     for i in range(nch):
         xhat, dz = pieces(i)
         dx = rstd_c * (dz * gamma - t1c - xhat * t2c)
