@@ -42,7 +42,10 @@ def main() -> None:
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="headline compute dtype (bf16 = TPU-native "
-                             "mixed precision, fp32 accumulate)")
+                             "mixed precision, fp32 accumulate).  For "
+                             "float32, UNET_TPU_F32_PRECISION=highest|"
+                             "high|default picks 6/3/1 MXU passes "
+                             "(exact-f32 / ~f32 / bf16 quality)")
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--image_size", type=int, default=64,
                         help="64 = the reference benchmark config; 128 = "

@@ -32,13 +32,31 @@ from jax import lax
 _CONV_DNUMS = ("NHWC", "HWIO", "NHWC")
 
 
+_F32_PRECISION = {"highest": lax.Precision.HIGHEST,
+                  "high": lax.Precision.HIGH,
+                  "default": lax.Precision.DEFAULT}[
+    os.environ.get("UNET_TPU_F32_PRECISION", "highest")]
+
+
+def set_f32_precision(name: str) -> None:
+    """Select the MXU pass count for float32 matmuls/convs BEFORE tracing:
+    "highest" (6-pass, full f32 — the parity default), "high" (3-pass
+    bf16x3, ~f32 quality at roughly half the cost — the tf32 analog), or
+    "default" (1-pass bf16).  Also settable via UNET_TPU_F32_PRECISION."""
+    global _F32_PRECISION
+    _F32_PRECISION = {"highest": lax.Precision.HIGHEST,
+                      "high": lax.Precision.HIGH,
+                      "default": lax.Precision.DEFAULT}[name]
+
+
 def _mm_precision(x):
-    """Matmul/conv precision.  f32 inputs must request HIGHEST or XLA's
-    DEFAULT runs the MXU in bf16 passes (~2e-3 relative error — far outside
-    the reference's fp32 parity tolerances).  bf16 inputs take the fast
-    single-pass path; that is the intended mixed-precision mode."""
+    """Matmul/conv precision.  f32 inputs default to HIGHEST — XLA's
+    DEFAULT runs the MXU in bf16 passes (~2e-3 relative error, far outside
+    the reference's fp32 parity tolerances); see set_f32_precision for the
+    3-pass middle mode.  bf16 inputs take the fast single-pass path; that
+    is the intended mixed-precision mode."""
     if x.dtype in (jnp.float32, jnp.float64):
-        return lax.Precision.HIGHEST
+        return _F32_PRECISION
     return lax.Precision.DEFAULT
 
 
