@@ -14,7 +14,6 @@ import argparse
 import jax
 import numpy as np
 
-from unet_tpu.config import UnetConfig
 from unet_tpu.diffusion.gaussian import GaussianDiffusion, named_beta_schedule
 from unet_tpu.diffusion.sampler import make_sampler, to_uint8
 from unet_tpu.io import checkpoint as ckpt_io

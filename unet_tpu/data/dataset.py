@@ -14,7 +14,7 @@ shuffling for real training runs.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

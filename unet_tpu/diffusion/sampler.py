@@ -15,8 +15,6 @@ readback, and any batch size amortizes the model cost.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

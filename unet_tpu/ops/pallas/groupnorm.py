@@ -27,8 +27,6 @@ size (the bf16 slab itself stays VMEM-resident; a 64x64x192 slab is only
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,6 @@ traffic per step is the input batch and the scalar loss.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import NamedTuple, Optional
 
