@@ -1,0 +1,288 @@
+"""The ADM U-Net: static architecture plan + functional init/apply.
+
+Replaces the reference's model-assembly layer — layer counting
+(reference train_unet.cu:3447-3487), the arena memory planner
+(train_unet.cu:3856-4235) and the hand-rolled forward/backward walks
+(train_unet.cu:4237-4701) — with a declarative plan derived from
+UnetConfig and a single pure function `apply`.  XLA owns buffer layout and
+`jax.grad` owns the backward pass.
+
+The torch module graph it reproduces is reference train_unet.py:252-464
+(guided-diffusion UNetModel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_tpu.config import UnetConfig
+from unet_tpu.models import blocks
+from unet_tpu.ops import functional as F
+
+# Layer kinds appearing in a plan:
+#   ("conv_in", cin, cout)  ("res", cin, cout)  ("attn", c)
+#   ("down", c)  ("up", c)
+Layer = Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class UnetPlan:
+    input_blocks: Tuple[Tuple[Layer, ...], ...]
+    middle: Tuple[Layer, ...]
+    output_blocks: Tuple[Tuple[Layer, ...], ...]
+    out_channels_pre_head: int
+
+
+def build_plan(cfg: UnetConfig) -> UnetPlan:
+    """Walk the architecture exactly as the torch constructor does
+    (reference train_unet.py:323-433): input column pushes one skip per
+    block; output column pops them in reverse."""
+    ch = cfg.channel_mult[0] * cfg.model_channels
+    input_blocks: List[Tuple[Layer, ...]] = [(("conv_in", cfg.in_channels, ch),)]
+    skip_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            layers: List[Layer] = [("res", ch, mult * cfg.model_channels)]
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_ds:
+                layers.append(("attn", ch))
+            input_blocks.append(tuple(layers))
+            skip_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            input_blocks.append((("down", ch),))
+            skip_chans.append(ch)
+            ds *= 2
+
+    middle: Tuple[Layer, ...] = (("res", ch, ch), ("attn", ch), ("res", ch, ch))
+
+    output_blocks: List[Tuple[Layer, ...]] = []
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            ich = skip_chans.pop()
+            layers = [("res", ch + ich, mult * cfg.model_channels)]
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_ds:
+                layers.append(("attn", ch))
+            if level and i == cfg.num_res_blocks:
+                layers.append(("up", ch))
+                ds //= 2
+            output_blocks.append(tuple(layers))
+
+    return UnetPlan(tuple(input_blocks), middle, tuple(output_blocks), ch)
+
+
+# ---------------------------------------------------------------------------
+# Init
+
+
+def _init_layer_group(key, layers, cfg: UnetConfig):
+    p = {}
+    for layer in layers:
+        key, sub = jax.random.split(key)
+        kind = layer[0]
+        if kind == "conv_in":
+            p["conv"] = blocks._conv_init(sub, 3, 3, layer[1], layer[2])
+        elif kind == "res":
+            p["res"] = blocks.resblock_init(sub, layer[1], layer[2],
+                                            cfg.time_embed_dim)
+        elif kind == "attn":
+            p["attn"] = blocks.attention_init(sub, layer[1])
+        # "down"/"up" are parameter-free (AvgPool / nearest-neighbor,
+        # reference train_unet.py:38-55).
+    return p
+
+
+def init(key, cfg: UnetConfig, num_classes: Optional[int] = None):
+    """Initialize a parameter pytree with torch-default init statistics.
+
+    For bit-exact interop with torch-initialized weights, load a reference
+    `unet_init.bin` via unet_tpu.io.checkpoint instead.
+    """
+    plan = build_plan(cfg)
+    k_time, k_in, k_mid, k_out, k_head, k_label = jax.random.split(key, 6)
+
+    tkeys = jax.random.split(k_time, 2)
+    params = {
+        "time_mlp": {
+            "l1": blocks._linear_init(tkeys[0], cfg.model_channels,
+                                      cfg.time_embed_dim),
+            "l2": blocks._linear_init(tkeys[1], cfg.time_embed_dim,
+                                      cfg.time_embed_dim),
+        }
+    }
+    if num_classes is not None:
+        # Class-conditional embedding; present-but-unused in the reference
+        # (train_unet.py:320-321, class_cond defaults False).
+        params["label_emb"] = jax.random.normal(
+            k_label, (num_classes, cfg.time_embed_dim), jnp.float32)
+
+    ikeys = jax.random.split(k_in, len(plan.input_blocks))
+    params["input"] = [
+        _init_layer_group(k, b, cfg) for k, b in zip(ikeys, plan.input_blocks)
+    ]
+
+    mkeys = jax.random.split(k_mid, 3)
+    params["middle"] = {
+        "res1": blocks.resblock_init(mkeys[0], *plan.middle[0][1:],
+                                     cfg.time_embed_dim),
+        "attn": blocks.attention_init(mkeys[1], plan.middle[1][1]),
+        "res2": blocks.resblock_init(mkeys[2], *plan.middle[2][1:],
+                                     cfg.time_embed_dim),
+    }
+
+    okeys = jax.random.split(k_out, len(plan.output_blocks))
+    params["output"] = [
+        _init_layer_group(k, b, cfg) for k, b in zip(okeys, plan.output_blocks)
+    ]
+
+    params["out"] = {
+        "gn": blocks._gn_init(plan.out_channels_pre_head),
+        "conv": blocks._conv_init(k_head, 3, 3, plan.out_channels_pre_head,
+                                  cfg.out_channels),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+
+
+def _apply_layer_group(p, layers, h, emb, cfg: UnetConfig):
+    for layer in layers:
+        kind = layer[0]
+        if kind == "conv_in":
+            h = F.conv2d(h, p["conv"]["w"], p["conv"]["b"])
+        elif kind == "res":
+            h = blocks.resblock_apply(p["res"], h, emb,
+                                      num_groups=cfg.gn_num_groups,
+                                      eps=cfg.gn_eps)
+        elif kind == "attn":
+            h = blocks.attention_apply(p["attn"], h,
+                                       head_size=cfg.num_head_channels,
+                                       num_groups=cfg.gn_num_groups,
+                                       eps=cfg.gn_eps)
+        elif kind == "down":
+            h = F.avg_pool_2x(h)
+        elif kind == "up":
+            h = F.upsample_nearest_2x(h)
+    return h
+
+
+def apply(params, cfg: UnetConfig, x, t, y=None, *,
+          compute_dtype=jnp.float32, remat: bool = False):
+    """Full U-Net forward (reference train_unet.py:435-464,
+    train_unet.cu:4237-4421).
+
+    x: (B, H, W, C_in) NHWC; t: (B,) timesteps; y: optional (B,) labels.
+    Returns (B, H, W, C_out) in compute_dtype.
+    """
+    plan = build_plan(cfg)
+    params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+    x = x.astype(compute_dtype)
+
+    group = _apply_layer_group
+    if remat:
+        group = jax.checkpoint(group, static_argnums=(1, 4))
+
+    emb = F.timestep_embedding(t, cfg.model_channels,
+                               max_period=cfg.max_period)
+    emb = emb.astype(compute_dtype)
+    tm = params["time_mlp"]
+    emb = F.linear(F.silu(F.linear(emb, tm["l1"]["w"], tm["l1"]["b"])),
+                   tm["l2"]["w"], tm["l2"]["b"])
+    if y is not None:
+        emb = emb + params["label_emb"][y]
+
+    h = x
+    skips = []
+    for p, layers in zip(params["input"], plan.input_blocks):
+        h = group(p, layers, h, emb, cfg)
+        skips.append(h)
+
+    mid = params["middle"]
+    h = group({"res": mid["res1"]}, (plan.middle[0],), h, emb, cfg)
+    h = group({"attn": mid["attn"]}, (plan.middle[1],), h, emb, cfg)
+    h = group({"res": mid["res2"]}, (plan.middle[2],), h, emb, cfg)
+
+    for p, layers in zip(params["output"], plan.output_blocks):
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = group(p, layers, h, emb, cfg)
+
+    out = params["out"]
+    h = F.group_norm_silu(h, out["gn"]["scale"], out["gn"]["bias"],
+                          num_groups=cfg.gn_num_groups, eps=cfg.gn_eps)
+    return F.conv2d(h, out["conv"]["w"], out["conv"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# torch named_parameters() flat order (the .bin interchange contract,
+# reference train_unet.py:794 / train_unet.cu:4872-4875).
+
+# Each entry: (path-in-pytree, kind) where kind in
+# {"gn", "conv", "linear", "conv1d"} selects the torch-shape transform.
+ParamRef = Tuple[Tuple, str]
+
+
+def _res_order(prefix, cin, cout) -> List[ParamRef]:
+    refs = [
+        (prefix + ("gn1", "scale"), "gn"), (prefix + ("gn1", "bias"), "gn"),
+        (prefix + ("conv1", "w"), "conv"), (prefix + ("conv1", "b"), "gn"),
+        (prefix + ("emb", "w"), "linear"), (prefix + ("emb", "b"), "gn"),
+        (prefix + ("gn2", "scale"), "gn"), (prefix + ("gn2", "bias"), "gn"),
+        (prefix + ("conv2", "w"), "conv"), (prefix + ("conv2", "b"), "gn"),
+    ]
+    if cin != cout:
+        refs += [(prefix + ("skip", "w"), "conv"),
+                 (prefix + ("skip", "b"), "gn")]
+    return refs
+
+
+def _attn_order(prefix) -> List[ParamRef]:
+    return [
+        (prefix + ("gn", "scale"), "gn"), (prefix + ("gn", "bias"), "gn"),
+        (prefix + ("qkv", "w"), "conv1d"), (prefix + ("qkv", "b"), "gn"),
+        (prefix + ("proj", "w"), "conv1d"), (prefix + ("proj", "b"), "gn"),
+    ]
+
+
+def _group_order(prefix, layers) -> List[ParamRef]:
+    refs: List[ParamRef] = []
+    for layer in layers:
+        kind = layer[0]
+        if kind == "conv_in":
+            refs += [(prefix + ("conv", "w"), "conv"),
+                     (prefix + ("conv", "b"), "gn")]
+        elif kind == "res":
+            refs += _res_order(prefix + ("res",), layer[1], layer[2])
+        elif kind == "attn":
+            refs += _attn_order(prefix + ("attn",))
+    return refs
+
+
+def param_order(cfg: UnetConfig, num_classes: Optional[int] = None
+                ) -> List[ParamRef]:
+    """Flat parameter order matching torch model.named_parameters()."""
+    plan = build_plan(cfg)
+    refs: List[ParamRef] = [
+        (("time_mlp", "l1", "w"), "linear"), (("time_mlp", "l1", "b"), "gn"),
+        (("time_mlp", "l2", "w"), "linear"), (("time_mlp", "l2", "b"), "gn"),
+    ]
+    if num_classes is not None:
+        refs.append((("label_emb",), "gn"))
+    for i, layers in enumerate(plan.input_blocks):
+        refs += _group_order(("input", i), layers)
+    refs += _res_order(("middle", "res1"), *plan.middle[0][1:])
+    refs += _attn_order(("middle", "attn"))
+    refs += _res_order(("middle", "res2"), *plan.middle[2][1:])
+    for i, layers in enumerate(plan.output_blocks):
+        refs += _group_order(("output", i), layers)
+    refs += [
+        (("out", "gn", "scale"), "gn"), (("out", "gn", "bias"), "gn"),
+        (("out", "conv", "w"), "conv"), (("out", "conv", "b"), "gn"),
+    ]
+    return refs
