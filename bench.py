@@ -25,18 +25,6 @@ import time
 import numpy as np
 
 
-def time_fn(fn, *args, reps=10, warmup=2):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
-
-
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", default="bfloat16",
@@ -76,7 +64,7 @@ def main() -> None:
 
     S = cfg.image_size
     batches = [jnp.asarray(rng.standard_normal(
-        (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(4)]
+        (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(8)]
 
     def bench_step(dtype_name, K=10):
         # production path: K steps scanned into one XLA program
@@ -86,13 +74,19 @@ def main() -> None:
         ms_fn = trainer.make_multi_step(cfg, tc, diffusion)
         state = trainer.init_state(
             jax.tree.map(jnp.array, params))  # private copy: step donates
-        kbatches = jnp.stack(batches[:2] * (K // 2))
-        state, losses = ms_fn(state, kbatches)   # warmup/compile
+        # Every timed step consumes a DISTINCT batch (two alternating
+        # K-stacks of unique data) — the L2-flush discipline of the
+        # reference benchmark harness (dev/common.h:88-122): no rep may
+        # reuse device-cached inputs.
+        chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
+            (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(K)])
+            for _ in range(2)]
+        state, losses = ms_fn(state, chunks[0])   # warmup/compile
         jax.block_until_ready(losses)
         t0 = time.perf_counter()
-        n = max(1, args.reps // K)
+        n = max(2, args.reps // K)
         for i in range(n):
-            state, losses = ms_fn(state, kbatches)
+            state, losses = ms_fn(state, chunks[i % 2])
         jax.block_until_ready(losses)
         return (time.perf_counter() - t0) / (n * K) * 1e3
 
@@ -104,11 +98,13 @@ def main() -> None:
         other_ms = bench_step(other)
         print(f"train_step {other}: {other_ms:.2f} ms", file=sys.stderr)
 
+        from unet_tpu.utils.benchmark import benchmark
         fwd = jax.jit(lambda p, x, t: unet.apply(
             p, cfg, x, t, compute_dtype=jnp.dtype(args.dtype)))
         t = jnp.zeros((B,), jnp.float32)
-        fwd_ms = time_fn(fwd, params, batches[0], t, reps=args.reps)
-        print(f"unet_fwd {args.dtype} B={B}: {fwd_ms:.2f} ms",
+        r = benchmark(fwd, reps=args.reps,
+                      rotate=[(params, b, t) for b in batches])
+        print(f"unet_fwd {args.dtype} B={B}: {r['mean_ms']:.2f} ms",
               file=sys.stderr)
 
         SB = 32
@@ -123,6 +119,20 @@ def main() -> None:
         print(f"ddpm_sample B={SB} ({cfg.max_period - 2} steps): "
               f"{dt:.2f} s = {SB / dt:.3f} samples/s", file=sys.stderr)
 
+    # B=1 998-step chain: BASELINE.md:26-30 defines the samples/sec metric
+    # as the generate.py-equivalent path (998 sequential B=1 forwards,
+    # reference generate.py:77-80).
+    sampler1 = make_sampler(cfg, diffusion, batch_size=1,
+                            compute_dtype=jnp.dtype(args.dtype))
+    imgs = sampler1(params, jax.random.PRNGKey(0))  # compile
+    jax.block_until_ready(imgs)
+    t0 = time.perf_counter()
+    imgs = sampler1(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(imgs)
+    b1_s = time.perf_counter() - t0
+    print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s "
+          f"= {1 / b1_s:.3f} samples/s", file=sys.stderr)
+
     baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
     print(json.dumps({
         "metric": f"imagenet{args.image_size}_train_step_ms"
@@ -130,6 +140,8 @@ def main() -> None:
         "value": round(headline_ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / headline_ms, 3),
+        "ddpm_b1_sample_s": round(b1_s, 3),
+        "ddpm_b1_samples_per_s": round(1 / b1_s, 3),
     }))
 
 

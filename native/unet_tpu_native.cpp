@@ -47,6 +47,19 @@ class TorchRng {
     pos_ = kN;  // force regeneration on first draw
   }
 
+  // Full generator state (624 words + cursor) for checkpoint/resume.
+  // fill_normal keeps no cross-call cache (the n>=16 Box-Muller path is
+  // blocked; the n<16 cache is call-local), so this IS the whole state.
+  void get_state(uint32_t* out625) const {
+    std::memcpy(out625, state_, kN * sizeof(uint32_t));
+    out625[kN] = pos_;
+  }
+
+  void set_state(const uint32_t* in625) {
+    std::memcpy(state_, in625, kN * sizeof(uint32_t));
+    pos_ = in625[kN];
+  }
+
   uint32_t u32() {
     if (pos_ >= kN) twist();
     uint32_t y = state_[pos_++];
@@ -277,6 +290,12 @@ void rng_timesteps(void* r, float* out, int64_t n, int range) {
 }
 void rng_shuffle(void* r, int32_t* idx, int64_t n) {
   static_cast<TorchRng*>(r)->shuffle(idx, n);
+}
+void rng_get_state(void* r, uint32_t* out625) {
+  static_cast<TorchRng*>(r)->get_state(out625);
+}
+void rng_set_state(void* r, const uint32_t* in625) {
+  static_cast<TorchRng*>(r)->set_state(in625);
 }
 
 // ---- dataloader ----

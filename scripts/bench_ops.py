@@ -36,43 +36,47 @@ def main():
 
     print(f"backend={jax.default_backend()} dtype={dt.name} B={B}")
 
+    # Rotation discipline: every timed rep reads a distinct input batch
+    # (the reference flushes L2 before each rep, dev/common.h:88-122).
+    N_ROT = 4
+
     # conv3x3 192->64 @64x64 — the reference's headline kernel shape
-    x = t(B, 64, 64, 192)
+    xs = [t(B, 64, 64, 192) for _ in range(N_ROT)]
     w = t(3, 3, 192, 64) * 0.05
     b = t(64)
     conv = jax.jit(F.conv2d)
-    r = benchmark(conv, x, w, b, reps=args.reps)
+    r = benchmark(conv, reps=args.reps, rotate=[(x, w, b) for x in xs])
     print(f"conv3x3 192->64 @64x64 fwd: {r['mean_ms']:.3f} ms "
           f"(ref v3 1.31 / torch 0.457 ms fp32 on 4090)")
 
     grad = jax.jit(jax.grad(lambda x, w, b: jnp.sum(
         F.conv2d(x, w, b).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
-    r = benchmark(grad, x, w, b, reps=args.reps)
+    r = benchmark(grad, reps=args.reps, rotate=[(x, w, b) for x in xs])
     print(f"conv3x3 192->64 @64x64 fwd+bwd: {r['mean_ms']:.3f} ms "
           f"(ref bwd v1 15.46 / torch 2.34 ms)")
 
     # groupnorm+silu @ the largest slab
-    x = t(B, 64, 64, 64)
+    xs = [t(B, 64, 64, 64) for _ in range(N_ROT)]
     g, be = jnp.ones(64, dt), jnp.zeros(64, dt)
     gn = jax.jit(lambda x, g, b: F.group_norm_silu(x, g, b))
-    r = benchmark(gn, x, g, be, reps=args.reps)
+    r = benchmark(gn, reps=args.reps, rotate=[(x, g, be) for x in xs])
     print(f"groupnorm+silu @64x64x64 fwd: {r['mean_ms']:.3f} ms")
 
     # attention block @16x16x192 (first attention resolution)
     ap = blocks.attention_init(jax.random.PRNGKey(0), 192)
     ap = jax.tree.map(lambda a: a.astype(dt), ap)
-    x = t(B, 16, 16, 192)
+    xs = [t(B, 16, 16, 192) for _ in range(N_ROT)]
     attn = jax.jit(lambda p, x: blocks.attention_apply(p, x, head_size=32))
-    r = benchmark(attn, ap, x, reps=args.reps)
+    r = benchmark(attn, reps=args.reps, rotate=[(ap, x) for x in xs])
     print(f"attention block @16x16x192 fwd: {r['mean_ms']:.3f} ms")
 
     # resblock @64x64 64->64
     rp = blocks.resblock_init(jax.random.PRNGKey(1), 64, 64, 256)
     rp = jax.tree.map(lambda a: a.astype(dt), rp)
-    x = t(B, 64, 64, 64)
+    xs = [t(B, 64, 64, 64) for _ in range(N_ROT)]
     emb = t(B, 256)
     res = jax.jit(lambda p, x, e: blocks.resblock_apply(p, x, e))
-    r = benchmark(res, rp, x, emb, reps=args.reps)
+    r = benchmark(res, reps=args.reps, rotate=[(rp, x, emb) for x in xs])
     print(f"resblock 64->64 @64x64 fwd: {r['mean_ms']:.3f} ms")
 
 

@@ -6,8 +6,20 @@ Unifies the reference's two trainer entry points into one:
     same cadence (log every 100 iters, checkpoint ./models/model_<it>.bin
     every 10,000, reference train_unet.cu:4993-4995, :5045-5057);
   * the torch trainer's full flag surface via defaults-dict argparse
-    (reference train_unet.py:660-727), including --init_model_only
+    (reference train_unet.py:660-727), including the live model flags
+    --attention_resolutions / --channel_mult / --num_head_channels /
+    --class_cond / --use_scale_shift_norm / --randomize
+    (reference train_unet.py:671-693) and --init_model_only
     (reference train_unet.py:956-958: write the init checkpoint and exit).
+    (--ema_rate / --microbatch / --lr_anneal_steps are parsed but dead in
+    the reference and intentionally not reproduced.)
+
+Resume is trajectory-faithful: checkpoints carry the optimizer step, the
+RNG seed (device keys are fold_in(seed, step) — unet_tpu/training/trainer
+.step_keys), the dataloader cursor, and the host MT19937 state when
+--host_rng, so `--model_weights model_N.bin` continues the exact run the
+original would have produced (the reference cannot: train_unet.cu:5019
+restarts bias correction and the data stream at 0).
 
 Run: python -m unet_tpu.cli.train --data_file data/train.bin [...]
 """
@@ -39,10 +51,23 @@ def defaults() -> dict:
         model_weights="",       # .bin checkpoint to load ("" = fresh init)
         data_file="data/elephant_train.bin",
         log_file="log.txt",
-        # reference torch CLI (train_unet.py:696-722)
+        # reference torch CLI (train_unet.py:671-722)
         image_size=64,
         num_channels=64,
         num_res_blocks=2,
+        attention_resolutions="16,8",  # resolution units; ds factors are
+        #                                image_size//res (train_unet.py:755)
+        channel_mult="",               # "" = (1,2,3,4) (train_unet.py:747)
+        num_head_channels=32,
+        class_cond=False,
+        num_classes=10,
+        use_scale_shift_norm=False,
+        randomize=False,               # shuffle + p=0.5 flip, the torch
+        #                                ImageDataset behavior
+        #                                (train_unet.py:490-536)
+        data_dir="",                   # directory of images instead of a
+        #                                .bin (torch data surface; required
+        #                                for class_cond labels)
         diffusion_steps=1000,
         noise_schedule="linear",
         lr=1e-4,
@@ -76,57 +101,109 @@ def create_argparser() -> argparse.ArgumentParser:
     return parser
 
 
+def model_config_from_args(args) -> UnetConfig:
+    """Flag -> UnetConfig conversion, reference create_model semantics
+    (train_unet.py:731-763)."""
+    if args.channel_mult == "":
+        channel_mult = (1, 2, 3, 4)
+    else:
+        channel_mult = tuple(
+            int(m) for m in str(args.channel_mult).split(","))
+    attention_ds = tuple(
+        args.image_size // int(res)
+        for res in str(args.attention_resolutions).split(","))
+    return UnetConfig(model_channels=args.num_channels,
+                      num_res_blocks=args.num_res_blocks,
+                      image_size=args.image_size,
+                      max_period=args.diffusion_steps,
+                      attention_ds=attention_ds,
+                      channel_mult=channel_mult,
+                      num_head_channels=args.num_head_channels,
+                      use_scale_shift_norm=args.use_scale_shift_norm)
+
+
+def _reject_bad_combos(args) -> None:
+    """Error loudly instead of silently ignoring flags.  An EXPLICIT
+    --num_devices > 1 conflicts with single-device-only features; the
+    auto default (--num_devices 0) quietly drops to one device for them."""
+    def bad(cond, msg):
+        if cond:
+            raise SystemExit(f"train: {msg}")
+    bad(args.host_rng and args.log_norms,
+        "--host_rng and --log_norms cannot be combined")
+    for flag in ("host_rng", "log_norms", "class_cond"):
+        bad(args.num_devices > 1 and getattr(args, flag),
+            f"--{flag} is only wired for single-device runs "
+            "(--num_devices 1)")
+    bad(args.class_cond and not args.data_dir,
+        "--class_cond needs --data_dir (labels come from image filename "
+        "prefixes, reference train_unet.py:506-510)")
+    bad(args.class_cond and args.host_rng,
+        "--class_cond and --host_rng cannot be combined")
+    bad(args.data_dir and args.shuffle,
+        "--shuffle applies to .bin streams; use --randomize with "
+        "--data_dir")
+
+
 def main(argv=None) -> None:
     args = create_argparser().parse_args(argv)
-    if not args.init_model_only and not os.path.exists(args.data_file):
+    if (not args.init_model_only and not args.data_dir
+            and not os.path.exists(args.data_file)):
         raise SystemExit(f"train: data file not found: {args.data_file} "
                          "(create one with unet_tpu.cli.prepare_data)")
-    cfg = UnetConfig(model_channels=args.num_channels,
-                     num_res_blocks=args.num_res_blocks,
-                     image_size=args.image_size,
-                     max_period=args.diffusion_steps)
+    cfg = model_config_from_args(args)
+    num_classes = args.num_classes if args.class_cond else None
     tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                      weight_decay=args.weight_decay,
                      iterations=args.iterations,
                      log_interval=args.log_interval,
                      save_interval=args.save_interval,
                      compute_dtype=args.compute_dtype, remat=args.remat,
-                     shuffle=args.shuffle)
+                     shuffle=args.shuffle or args.randomize)
 
     # --- model init / load (reference train_unet.cu:4819-4911) ---
     start_step = 0
-    adam_m = adam_v = None
+    adam_m = adam_v = host_rng_state = None
+    seed = args.seed
     if args.model_weights:
-        ckpt = ckpt_io.load(args.model_weights, cfg)
+        ckpt = ckpt_io.load(args.model_weights, cfg, num_classes)
         params, start_step = ckpt.params, ckpt.step
         adam_m, adam_v = ckpt.adam_m, ckpt.adam_v
+        host_rng_state = ckpt.host_rng_state
+        if ckpt.rng_seed is not None:
+            seed = ckpt.rng_seed
         print(f"loaded {args.model_weights} (step {start_step})")
     else:
-        params = jax.jit(lambda k: unet.init(k, cfg))(
-            jax.random.PRNGKey(args.seed))
-        print(f"fresh init (seed {args.seed}, "
-              f"{ckpt_io.num_params(cfg):,} params)")
+        params = jax.jit(lambda k: unet.init(k, cfg, num_classes))(
+            jax.random.PRNGKey(seed))
+        print(f"fresh init (seed {seed}, "
+              f"{ckpt_io.num_params(cfg, num_classes):,} params)")
 
     if args.init_model_only:
         # reference train_unet.py:956-958
         ckpt_io.save(args.init_model_filename, ckpt_io.Checkpoint(
-            params=params, cfg=cfg, batch_size=tc.batch_size))
+            params=params, cfg=cfg, batch_size=tc.batch_size),
+            num_classes)
         print(f"wrote init checkpoint to {args.init_model_filename}")
         return
 
-    state = trainer.init_state(params, seed=args.seed, step=start_step)
+    state = trainer.init_state(params, seed=seed, step=start_step)
     if adam_m is not None:
         state = state._replace(m=adam_m, v=adam_v)
 
     # --- data + step function ---
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
+    _reject_bad_combos(args)
     n_dev = args.num_devices or len(jax.devices())
+    if args.host_rng or args.log_norms or args.class_cond:
+        n_dev = 1
     multi = host_rng = None
     if args.host_rng:
         from unet_tpu.utils.native import TorchRng
-        host_rng = TorchRng(args.seed)
-        n_dev = 1
+        host_rng = TorchRng(seed)
+        if host_rng_state is not None:
+            host_rng.set_state(host_rng_state)
     if n_dev > 1:
         m = pmesh.make_mesh(data=n_dev,
                             devices=jax.devices()[:n_dev])
@@ -140,7 +217,7 @@ def main(argv=None) -> None:
         else:
             step_fn, step_with = trainer.make_train_step(cfg, tc, diffusion)
         global_batch = tc.batch_size
-        if (not args.host_rng and not args.log_norms
+        if (not args.host_rng and not args.log_norms and not args.class_cond
                 and tc.log_interval > 1
                 and tc.save_interval % tc.log_interval == 0
                 and start_step % tc.log_interval == 0
@@ -148,9 +225,16 @@ def main(argv=None) -> None:
             # scan log_interval steps into one dispatch (cuts per-step
             # host overhead; losses still reported per step)
             multi = trainer.make_multi_step(cfg, tc, diffusion)
-    loader = dataset.data_loader(args.data_file, global_batch,
-                                 shuffle=tc.shuffle, flip=args.flip,
-                                 seed=args.seed)
+    if args.data_dir:
+        loader = dataset.image_dir_loader(
+            args.data_dir, global_batch, size=args.image_size,
+            class_cond=args.class_cond, randomize=args.randomize,
+            seed=seed)
+    else:
+        loader = dataset.data_loader(args.data_file, global_batch,
+                                     shuffle=tc.shuffle,
+                                     flip=args.flip or args.randomize,
+                                     seed=seed, skip_batches=start_step)
 
     # --- loop (reference train_unet.cu:5019-5058) ---
     text_log = TextLog(args.log_file)
@@ -192,6 +276,11 @@ def main(argv=None) -> None:
             kv_log.logkv("grad_norm", float(aux["grad_norm"]))
             kv_log.logkv_mean("param_norm", float(aux["param_norm"]))
             it += 1
+        elif args.class_cond:
+            batch, labels = next(loader)
+            state, loss = step_fn(state, batch, jnp.asarray(labels))
+            counter.add(loss)
+            it += 1
         else:
             state, loss = step_fn(state, next(loader))
             counter.add(loss)  # device->host sync, like the reference's
@@ -217,7 +306,11 @@ def main(argv=None) -> None:
                 params=jax.device_get(state.params), cfg=cfg,
                 batch_size=tc.batch_size, step=it,
                 adam_m=jax.device_get(state.m),
-                adam_v=jax.device_get(state.v), rng_seed=args.seed))
+                adam_v=jax.device_get(state.v), rng_seed=seed,
+                loader_pos=it,
+                host_rng_state=(host_rng.get_state()
+                                if host_rng is not None else None)),
+                num_classes)
             text_log.log(f"saved {path}")
 
 

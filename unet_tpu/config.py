@@ -33,6 +33,10 @@ class UnetConfig:
     attention_ds: Tuple[int, ...] = (4, 8)
     channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
     num_head_channels: int = 32  # HS; NH = channels // HS per block
+    # FiLM-style conditioning: emb projects to (scale, shift) applied
+    # around GN2 instead of a plain add (reference train_unet.py:93-99,
+    # 141-148; exposed as --use_scale_shift_norm, train_unet.py:687).
+    use_scale_shift_norm: bool = False
     gn_num_groups: int = 32
     gn_eps: float = 1e-5
     image_size: int = 64

@@ -147,6 +147,7 @@ def image_dir_loader(data_dir: str, batch_size: int, *, size: int = 64,
 def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
                 flip: bool = False,
                 seed: int = 0, num_shards: int = 1, shard_index: int = 0,
+                skip_batches: int = 0,
                 ) -> Iterator[np.ndarray]:
     """Infinite NHWC batch iterator.
 
@@ -157,6 +158,14 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
     reads a disjoint interleaved slice for data-parallel training (no
     reference analog; parallelism is green-field per SURVEY.md
     section 2.8).
+
+    skip_batches=N fast-forwards the stream past its first N batches
+    WITHOUT reading pixel data — cursor arithmetic plus replaying the
+    rng draws (flip masks, shuffle permutations) so a resumed run sees
+    the exact batch sequence the original run would have from step N on.
+    The stream position is checkpointed as header[14]
+    (unet_tpu/io/checkpoint.py); the reference keeps it only in RAM and
+    always restarts at 0 (train_unet.cu:3050-3062).
     """
     ds = BinDataset(path)
     n = len(ds)
@@ -170,16 +179,32 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
         batch[mask] = batch[mask, :, ::-1]  # flip width (NHWC axis 2)
         return batch
 
+    def skip_flip_draws(k_batches):
+        if flip and k_batches:
+            rng.random((k_batches, batch_size))
+
     if shuffle:
+        shard_len = len(np.arange(n)[shard_index::num_shards])
+        per_epoch = max(shard_len // batch_size, 1)
+        # replay whole epochs (one permutation + its flip draws each) ...
+        for _ in range(skip_batches // per_epoch):
+            rng.permutation(n)
+            skip_flip_draws(per_epoch)
+        start = skip_batches % per_epoch
         while True:
             perm = rng.permutation(n)
             perm = perm[shard_index::num_shards]
-            for i in range(0, len(perm) - batch_size + 1, batch_size):
+            skip_flip_draws(start)  # ... then the partial epoch
+            for i in range(start * batch_size,
+                           len(perm) - batch_size + 1, batch_size):
                 yield maybe_flip(ds.batch_nhwc(perm[i:i + batch_size]))
+            start = 0
     else:
-        pos = 0
         idx = np.arange(n)[shard_index::num_shards]
         m = len(idx)
+        per_epoch = max(m // batch_size, 1)
+        pos = (skip_batches % per_epoch) * batch_size
+        skip_flip_draws(skip_batches)
         while True:
             if pos + batch_size > m:
                 pos = 0

@@ -9,14 +9,31 @@ weights load here and vice versa:
     (reference train_unet.py:794, generate.py:17-27).
   * optional AdamW m then v in the same flat order.
 
-Extensions over the reference (backwards compatible — the reference writes
-zeros in spare header slots):
-  * header[10] stores the optimizer step count, fixing the reference's
-    lost-bias-correction-on-resume caveat (train_unet.cu:5019 restarts the
-    AdamW step at 1).
-  * header[11] stores a 32-bit RNG seed when has_rng=1 is written by us;
-    a reference curandState blob (device-specific, has_rng=1 from CUDA) is
-    ignored on load.
+Extensions over the reference, guarded by a written-by-this-framework
+marker: header[12] == EXT_MAGIC.  The reference CUDA saver leaves spare
+header slots as uninitialized stack garbage (int model_header[256] with
+only [0..9] set, train_unet.cu:4764-4774), so extension fields are ONLY
+trusted when the marker matches; otherwise they default to zero/absent.
+header[9] (has_rng) is ALWAYS written 0 — the reference loader on
+has_rng=1 freadChecks a device-specific curandState blob and hard-exits
+when it is missing (train_unet.cu:4893-4901), so setting it without the
+blob would make our files unloadable there.  Extension fields:
+  * header[10]: optimizer step count (fixes the reference's
+    lost-bias-correction-on-resume caveat — train_unet.cu:5019 restarts
+    the AdamW step at 1).
+  * header[11]: 32-bit RNG seed; present iff header[13] == 1.
+  * header[14]: dataloader cursor in batches consumed (sequential-stream
+    position, reference train_unet.cu:3085-3096 keeps this only in RAM).
+  * header[15] == 1: a host MT19937 state blob (625 uint32, torch-bit-
+    exact generator from native/unet_tpu_native.cpp) is appended after
+    params (+ AdamW moments).  Unlike the reference's raw curandState
+    blob this is device- and driver-independent.
+  * header[16..37]: full architecture (num_res_blocks, channel_mult,
+    attention_ds, num_head_channels, use_scale_shift_norm, num_classes),
+    so load(cfg=None) reconstructs the exact model — the reference loader
+    instead HARDCODES these (train_unet.cu:4848-4864) and cannot load any
+    non-default architecture.
+On load, a reference curandState blob (has_rng=1 from CUDA) is ignored.
 
 Layout transforms happen only here: pytree arrays are TPU-native
 (HWIO convs, (I,O) linears) and are transposed to/from torch's
@@ -37,6 +54,44 @@ from unet_tpu.models import unet
 
 MAGIC = 12345678
 HEADER_INTS = 256
+# "written by unet_tpu" marker at header[12]; spare slots in
+# reference-written files hold stack garbage, so extensions require an
+# exact magic match, not a boolean.
+EXT_MAGIC = 20260816
+HOST_RNG_WORDS = 625  # MT19937: 624 state words + cursor
+_MAX_LEVELS = 8       # fixed header room for channel_mult / attention_ds
+
+
+def _arch_to_header(header: np.ndarray, cfg: UnetConfig,
+                    num_classes: Optional[int]) -> None:
+    """Architecture -> EXT header slots [16..37] (see module docstring)."""
+    if len(cfg.channel_mult) > _MAX_LEVELS or len(
+            cfg.attention_ds) > _MAX_LEVELS:
+        raise ValueError(f"header supports at most {_MAX_LEVELS} levels")
+    header[16] = cfg.num_res_blocks
+    header[17] = len(cfg.channel_mult)
+    header[18:18 + len(cfg.channel_mult)] = cfg.channel_mult
+    header[26] = len(cfg.attention_ds)
+    header[27:27 + len(cfg.attention_ds)] = cfg.attention_ds
+    header[35] = cfg.num_head_channels
+    header[36] = 1 if cfg.use_scale_shift_norm else 0
+    header[37] = num_classes or 0
+
+
+def _arch_from_header(header: np.ndarray) -> UnetConfig:
+    """EXT header slots -> full UnetConfig (only valid behind EXT_MAGIC)."""
+    return UnetConfig(
+        in_channels=int(header[2]),
+        model_channels=int(header[3]),
+        out_channels=int(header[4]),
+        image_size=int(header[5]),
+        max_period=int(header[7]),
+        num_res_blocks=int(header[16]),
+        channel_mult=tuple(int(m) for m in header[18:18 + int(header[17])]),
+        attention_ds=tuple(int(d) for d in header[27:27 + int(header[26])]),
+        num_head_channels=int(header[35]),
+        use_scale_shift_norm=bool(header[36]),
+    )
 
 
 def tree_get(tree, path):
@@ -130,6 +185,8 @@ class Checkpoint:
     adam_m: Optional[object] = None   # pytree, same structure as params
     adam_v: Optional[object] = None
     rng_seed: Optional[int] = None
+    loader_pos: int = 0               # dataloader cursor, in batches
+    host_rng_state: Optional[np.ndarray] = None  # (625,) uint32 MT19937
 
 
 def save(path: str, ckpt: Checkpoint,
@@ -145,15 +202,28 @@ def save(path: str, ckpt: Checkpoint,
     header[6] = cfg.image_size
     header[7] = cfg.max_period
     header[8] = 1 if ckpt.adam_m is not None else 0
-    header[9] = 1 if ckpt.rng_seed is not None else 0
+    # has_rng stays 0: the reference loader on has_rng=1 requires a raw
+    # curandState blob and exits without one (train_unet.cu:4893-4901).
+    header[9] = 0
+    header[12] = EXT_MAGIC
     header[10] = ckpt.step
+    header[13] = 0 if ckpt.rng_seed is None else 1
     header[11] = 0 if ckpt.rng_seed is None else ckpt.rng_seed
+    header[14] = ckpt.loader_pos
+    header[15] = 0 if ckpt.host_rng_state is None else 1
+    _arch_to_header(header, cfg, num_classes)
     with open(path, "wb") as f:
         f.write(header.tobytes())
         f.write(flatten_params(ckpt.params, cfg, num_classes).tobytes())
         if ckpt.adam_m is not None:
             f.write(flatten_params(ckpt.adam_m, cfg, num_classes).tobytes())
             f.write(flatten_params(ckpt.adam_v, cfg, num_classes).tobytes())
+        if ckpt.host_rng_state is not None:
+            state = np.ascontiguousarray(ckpt.host_rng_state, np.uint32)
+            if state.size != HOST_RNG_WORDS:
+                raise ValueError(
+                    f"host_rng_state must be {HOST_RNG_WORDS} words")
+            f.write(state.tobytes())
 
 
 def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,
@@ -161,17 +231,40 @@ def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,
     """Load a torch .pt/.pth state_dict checkpoint (the reference's other
     checkpoint flavor, generate.py:12-16): tensor values are concatenated
     in state_dict order — identical to named_parameters() order for this
-    model, and unaffected by torch.compile's `_orig_mod.` key prefix."""
+    model, and unaffected by torch.compile's `_orig_mod.` key prefix.
+
+    The order assumption is VERIFIED, not trusted: every tensor's shape
+    must match the expected torch shape at its position in param_order
+    (buffers, reordered keys, or a mismatched architecture fail loudly
+    instead of silently mis-loading)."""
     import torch
     state = torch.load(path, map_location="cpu", weights_only=True)
     if not isinstance(state, dict):
         raise ValueError(f"{path}: expected a state_dict")
-    flat = np.concatenate([
-        np.asarray(v.detach().float().numpy(), np.float32).ravel()
-        for v in state.values() if hasattr(v, "detach")])
     if cfg is None:
         cfg = UnetConfig()
-    return Checkpoint(params=unflatten_params(flat, cfg, num_classes),
+    tensors = [(k, v) for k, v in state.items() if hasattr(v, "detach")]
+    order = unet.param_order(cfg, num_classes)
+    if len(tensors) != len(order):
+        raise ValueError(
+            f"{path}: state_dict has {len(tensors)} tensors, model expects "
+            f"{len(order)} parameters")
+    shapes = param_shape_tree(cfg, num_classes)
+    chunks = []
+    for (key, v), (tree_path, kind) in zip(tensors, order):
+        a = np.asarray(v.detach().float().numpy(), np.float32)
+        expect = _to_torch(
+            np.empty(tree_get(shapes, tree_path).shape, np.float32),
+            kind).shape
+        if tuple(a.shape) != tuple(expect):
+            raise ValueError(
+                f"{path}: tensor '{key}' has shape {tuple(a.shape)}, "
+                f"expected {tuple(expect)} for parameter "
+                f"{'.'.join(map(str, tree_path))} — state_dict order does "
+                f"not match named_parameters() order")
+        chunks.append(a.ravel())
+    return Checkpoint(params=unflatten_params(np.concatenate(chunks), cfg,
+                                              num_classes),
                       cfg=cfg, batch_size=0)
 
 
@@ -186,16 +279,24 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
         header = np.frombuffer(f.read(HEADER_INTS * 4), dtype=np.int32)
         if header[0] != MAGIC:
             raise ValueError(f"bad magic {header[0]} in {path}")
+        is_ext = header[12] == EXT_MAGIC
         if cfg is None:
-            # Architecture constants beyond the header match the reference
-            # loader's hardcoded assumptions (train_unet.cu:4848-4864).
-            cfg = UnetConfig(
-                in_channels=int(header[2]),
-                model_channels=int(header[3]),
-                out_channels=int(header[4]),
-                image_size=int(header[5]),
-                max_period=int(header[7]),
-            )
+            if is_ext:
+                # Self-describing: full architecture from header[16..37].
+                cfg = _arch_from_header(header)
+            else:
+                # Architecture constants beyond the basic header match the
+                # reference loader's hardcoded assumptions
+                # (train_unet.cu:4848-4864).
+                cfg = UnetConfig(
+                    in_channels=int(header[2]),
+                    model_channels=int(header[3]),
+                    out_channels=int(header[4]),
+                    image_size=int(header[5]),
+                    max_period=int(header[7]),
+                )
+        if num_classes is None and is_ext and header[37] > 0:
+            num_classes = int(header[37])
         n = num_params(cfg, num_classes)
         params = unflatten_params(
             np.frombuffer(f.read(n * 4), dtype=np.float32), cfg, num_classes)
@@ -207,8 +308,20 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
             adam_v = unflatten_params(
                 np.frombuffer(f.read(n * 4), dtype=np.float32), cfg,
                 num_classes)
-        rng_seed = int(header[11]) if header[9] else None
-        # Any trailing bytes (reference curandState blob) are ignored.
+        # Extension fields are trusted ONLY behind the marker: the
+        # reference saver leaves spare slots as stack garbage
+        # (train_unet.cu:4764-4774).
+        step = rng_seed = loader_pos = host_rng_state = None
+        if is_ext:
+            step = int(header[10])
+            rng_seed = int(header[11]) if header[13] == 1 else None
+            loader_pos = int(header[14])
+            if header[15] == 1:
+                host_rng_state = np.frombuffer(
+                    f.read(HOST_RNG_WORDS * 4), dtype=np.uint32).copy()
+        # Any further trailing bytes (reference curandState blob, has_rng=1
+        # from the CUDA trainer) are ignored.
     return Checkpoint(params=params, cfg=cfg, batch_size=int(header[1]),
-                      step=int(header[10]), adam_m=adam_m, adam_v=adam_v,
-                      rng_seed=rng_seed)
+                      step=step or 0, adam_m=adam_m, adam_v=adam_v,
+                      rng_seed=rng_seed, loader_pos=loader_pos or 0,
+                      host_rng_state=host_rng_state)

@@ -88,8 +88,9 @@ def _init_layer_group(key, layers, cfg: UnetConfig):
         if kind == "conv_in":
             p["conv"] = blocks._conv_init(sub, 3, 3, layer[1], layer[2])
         elif kind == "res":
-            p["res"] = blocks.resblock_init(sub, layer[1], layer[2],
-                                            cfg.time_embed_dim)
+            p["res"] = blocks.resblock_init(
+                sub, layer[1], layer[2], cfg.time_embed_dim,
+                scale_shift_norm=cfg.use_scale_shift_norm)
         elif kind == "attn":
             p["attn"] = blocks.attention_init(sub, layer[1])
         # "down"/"up" are parameter-free (AvgPool / nearest-neighbor,
@@ -127,12 +128,15 @@ def init(key, cfg: UnetConfig, num_classes: Optional[int] = None):
     ]
 
     mkeys = jax.random.split(k_mid, 3)
+    ssn = cfg.use_scale_shift_norm
     params["middle"] = {
         "res1": blocks.resblock_init(mkeys[0], *plan.middle[0][1:],
-                                     cfg.time_embed_dim),
+                                     cfg.time_embed_dim,
+                                     scale_shift_norm=ssn),
         "attn": blocks.attention_init(mkeys[1], plan.middle[1][1]),
         "res2": blocks.resblock_init(mkeys[2], *plan.middle[2][1:],
-                                     cfg.time_embed_dim),
+                                     cfg.time_embed_dim,
+                                     scale_shift_norm=ssn),
     }
 
     okeys = jax.random.split(k_out, len(plan.output_blocks))
@@ -158,9 +162,10 @@ def _apply_layer_group(p, layers, h, emb, cfg: UnetConfig):
         if kind == "conv_in":
             h = F.conv2d(h, p["conv"]["w"], p["conv"]["b"])
         elif kind == "res":
-            h = blocks.resblock_apply(p["res"], h, emb,
-                                      num_groups=cfg.gn_num_groups,
-                                      eps=cfg.gn_eps)
+            h = blocks.resblock_apply(
+                p["res"], h, emb, num_groups=cfg.gn_num_groups,
+                eps=cfg.gn_eps,
+                scale_shift_norm=cfg.use_scale_shift_norm)
         elif kind == "attn":
             h = blocks.attention_apply(p["attn"], h,
                                        head_size=cfg.num_head_channels,

@@ -108,7 +108,7 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
 
     def train_step(state: trainer.TrainState, batch):
         batch = jax.lax.with_sharding_constraint(batch, x_shard)
-        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t_key, n_key = trainer.step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
@@ -117,8 +117,7 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step,
-                              rng=rng), loss
+        return state._replace(params=params, m=m, v=v, step=new_step), loss
 
     rep = replicated(mesh)
     if fsdp:

@@ -31,7 +31,19 @@ class TrainState(NamedTuple):
     m: object
     v: object
     step: jnp.ndarray  # int32, number of completed optimizer steps
-    rng: jax.Array     # jax PRNG key
+    rng: jax.Array     # BASE jax PRNG key (constant across the run)
+
+
+def step_keys(state: "TrainState"):
+    """Per-step (timestep_key, noise_key) derived as fold_in(base, step).
+
+    The random stream is a pure function of (seed, step) — a run resumed
+    from a checkpoint at step N continues the exact trajectory of the
+    original run, with nothing but the seed and step count persisted
+    (the reference could not resume faithfully: raw curandState blob +
+    lost step count, train_unet.cu:4819-4911, SURVEY.md section 5)."""
+    k = jax.random.fold_in(state.rng, state.step)
+    return jax.random.split(k)
 
 
 def init_state(params, *, seed: int = 0, step: int = 0) -> TrainState:
@@ -43,9 +55,9 @@ def init_state(params, *, seed: int = 0, step: int = 0) -> TrainState:
 
 def make_loss_fn(cfg: UnetConfig, diffusion: GaussianDiffusion,
                  compute_dtype=jnp.float32, remat: bool = False):
-    def loss_fn(params, x_start, t, noise):
+    def loss_fn(params, x_start, t, noise, y=None):
         x_t = diffusion.q_sample(x_start, t, noise)
-        pred = unet.apply(params, cfg, x_t.astype(compute_dtype), t,
+        pred = unet.apply(params, cfg, x_t.astype(compute_dtype), t, y,
                           compute_dtype=compute_dtype, remat=remat)
         diff = pred.astype(jnp.float32) - noise.astype(jnp.float32)
         return jnp.mean(jnp.square(diff))
@@ -66,21 +78,20 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
                            eps=tc.eps, weight_decay=tc.weight_decay)
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
 
-    def step_with(state: TrainState, batch, t, noise):
+    def step_with(state: TrainState, batch, t, noise, y=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, t, noise)
+            state.params, batch, t, noise, y)
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
         return state._replace(params=params, m=m, v=v, step=new_step), loss
 
-    def train_step(state: TrainState, batch):
-        rng, t_key, n_key = jax.random.split(state.rng, 3)
+    def train_step(state: TrainState, batch, y=None):
+        t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        state, loss = step_with(state, batch, t, noise)
-        return state._replace(rng=rng), loss
+        return step_with(state, batch, t, noise, y)
 
     donate_args = (0,) if donate else ()
     return (jax.jit(train_step, donate_argnums=donate_args),
@@ -107,7 +118,7 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
 
     def one(state: TrainState, batch):
-        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
@@ -116,8 +127,7 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step,
-                              rng=rng), loss
+        return state._replace(params=params, m=m, v=v, step=new_step), loss
 
     def multi_step(state: TrainState, batches):
         return jax.lax.scan(one, state, batches)
@@ -147,7 +157,7 @@ def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
 
     def train_step(state: TrainState, batch):
-        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
@@ -159,8 +169,7 @@ def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step,
-                              rng=rng), aux
+        return state._replace(params=params, m=m, v=v, step=new_step), aux
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -220,7 +229,7 @@ def make_flat_multi_step(cfg: UnetConfig, tc: TrainConfig, unravel,
         return loss_fn(unravel(flat), batch, t, noise)
 
     def one(state: FlatState, batch):
-        rng, t_key, n_key = jax.random.split(state.rng, 3)
+        t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
@@ -229,7 +238,7 @@ def make_flat_multi_step(cfg: UnetConfig, tc: TrainConfig, unravel,
         new_step = state.step + 1
         flat, m, v = optim.adamw_update_flat(
             state.flat, g_flat, state.m, state.v, new_step, hp)
-        return FlatState(flat, m, v, new_step, rng), loss
+        return FlatState(flat, m, v, new_step, state.rng), loss
 
     def multi_step(state: FlatState, batches):
         return jax.lax.scan(one, state, batches)

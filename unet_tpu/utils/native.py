@@ -62,6 +62,9 @@ def load_library() -> ctypes.CDLL:
     lib.rng_timesteps.argtypes = [ctypes.c_void_p, fp, ctypes.c_int64,
                                   ctypes.c_int]
     lib.rng_shuffle.argtypes = [ctypes.c_void_p, ip, ctypes.c_int64]
+    up = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.rng_get_state.argtypes = [ctypes.c_void_p, up]
+    lib.rng_set_state.argtypes = [ctypes.c_void_p, up]
     lib.loader_open.restype = ctypes.c_void_p
     lib.loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.loader_close.argtypes = [ctypes.c_void_p]
@@ -113,6 +116,24 @@ class TorchRng:
         idx = np.arange(n, dtype=np.int32)
         self._lib.rng_shuffle(self._h, idx, n)
         return idx
+
+    # 625 uint32s: 624 MT19937 words + cursor.  The whole generator state
+    # (torch's Box-Muller blocks keep no cross-call cache) — serialized
+    # into checkpoints for trajectory-faithful resume, unlike the
+    # reference's device-specific raw curandState blob
+    # (reference train_unet.cu:4798-4813).
+    STATE_WORDS = 625
+
+    def get_state(self) -> np.ndarray:
+        out = np.empty(self.STATE_WORDS, np.uint32)
+        self._lib.rng_get_state(self._h, out)
+        return out
+
+    def set_state(self, state: np.ndarray) -> None:
+        state = np.ascontiguousarray(state, np.uint32)
+        if state.size != self.STATE_WORDS:
+            raise ValueError(f"rng state must be {self.STATE_WORDS} words")
+        self._lib.rng_set_state(self._h, state)
 
 
 class NativeLoader:
