@@ -21,6 +21,7 @@ does not silently drop to bf16 passes.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -94,37 +95,155 @@ def group_norm(x, gamma, beta, *, num_groups=32, eps=1e-5):
     B, H, W, C = x.shape
     G = num_groups
     stat_dt = jnp.promote_types(x.dtype, jnp.float32)  # stats in fp32
+    mean, rstd = _gn_stats(x, G, eps)  # (B, G) each, fp32
     xg = x.reshape(B, H, W, G, C // G).astype(stat_dt)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
-    xn = (xg - mean) * lax.rsqrt(var + eps)
+    xn = (xg - mean[:, None, None, :, None]) \
+        * rstd[:, None, None, :, None].astype(stat_dt)
     xn = xn.reshape(B, H, W, C)
     return (xn * gamma + beta).astype(x.dtype)
 
 
-_PALLAS_GN = os.environ.get("UNET_TPU_PALLAS", "0") == "1"
+def _gn_stats(x, num_groups, eps):
+    """Per-(batch, group) mean and rstd, fp32, shape (B, G) each.
+
+    f32 inputs use the two-pass variance (torch-identical numerics, the
+    parity contract — reference train_unet.cu:1768-1829).  bf16 inputs use
+    one-pass E[x^2]-mean^2 in fp32 accumulation: the input's own
+    quantization (~3e-3 relative) dwarfs the cancellation error, and one
+    pass halves the HBM stat traffic (XLA fuses both sums into a single
+    multi-output reduction over one read of x).
+    """
+    B, H, W, C = x.shape
+    G = num_groups
+    xg = x.reshape(B, H * W, G, C // G)
+    inv_n = 1.0 / (H * W * (C // G))
+    stat_dt = jnp.promote_types(x.dtype, jnp.float32)
+    if x.dtype == jnp.float32 or x.dtype == jnp.float64:
+        xf = xg.astype(stat_dt)
+        mean = jnp.mean(xf, axis=(1, 3))
+        var = jnp.mean(jnp.square(xf - mean[:, None, :, None]),
+                       axis=(1, 3))
+    else:
+        xf = xg.astype(stat_dt)
+        s1 = jnp.sum(xf, axis=(1, 3))
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 3))
+        mean = s1 * inv_n
+        var = jnp.maximum(s2 * inv_n - jnp.square(mean), 0.0)
+    rstd = lax.rsqrt(var + eps)
+    return mean, rstd
+
+
+def _gn_expand(stat, C, G):
+    """(B, G) per-group stat -> (B, 1, 1, C) per-channel broadcast."""
+    B = stat.shape[0]
+    return jnp.repeat(stat, C // G, axis=1).reshape(B, 1, 1, C)
+
+
+def _gn_act_fwd_impl(x, gamma, beta, num_groups, eps, act):
+    B, H, W, C = x.shape
+    mean, rstd = _gn_stats(x, num_groups, eps)
+    mean_c = _gn_expand(mean, C, num_groups)
+    rstd_c = _gn_expand(rstd, C, num_groups)
+    z = ((x.astype(jnp.float32) - mean_c) * rstd_c
+         * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+    if act == "silu":
+        z = z * jax.nn.sigmoid(z)
+    return z.astype(x.dtype), mean, rstd
+
+
+@functools.lru_cache(maxsize=None)
+def _gn_act_xla(num_groups, eps, act):
+    """Fused GroupNorm(+SiLU) as XLA expressions with a custom VJP.
+
+    vs plain autodiff: the backward recomputes xhat from (x, mean, rstd)
+    instead of consuming autodiff's saved fp32 normalized/activation
+    residuals — the residual set shrinks from several full (B,H,W,C) fp32
+    tensors to x (already live) plus two (B,G) stat vectors, and the
+    backward becomes two fused passes over (x, dy).  Same role as the
+    reference's groupnorm_backward consuming saved mean/rstd
+    (train_unet.cu:1849-1992).
+    """
+
+    @jax.custom_vjp
+    def gn(x, gamma, beta):
+        return _gn_act_fwd_impl(x, gamma, beta, num_groups, eps, act)[0]
+
+    def gn_fwd(x, gamma, beta):
+        y, mean, rstd = _gn_act_fwd_impl(x, gamma, beta, num_groups, eps,
+                                         act)
+        return y, (x, gamma, beta, mean, rstd)
+
+    def gn_bwd(res, dy):
+        x, gamma, beta, mean, rstd = res
+        B, H, W, C = x.shape
+        G = num_groups
+        mean_c = _gn_expand(mean, C, G)
+        rstd_c = _gn_expand(rstd, C, G)
+        gamma_f = gamma.astype(jnp.float32)
+        xhat = (x.astype(jnp.float32) - mean_c) * rstd_c
+        dyf = dy.astype(jnp.float32)
+        if act == "silu":
+            z = xhat * gamma_f + beta.astype(jnp.float32)
+            s = jax.nn.sigmoid(z)
+            dz = dyf * (s * (1.0 + z * (1.0 - s)))
+        else:
+            dz = dyf
+        # per-batch channel sums feed both the param grads and the two
+        # per-group means the dx formula needs
+        sb_dbeta = jnp.sum(dz, axis=(1, 2))           # (B, C)
+        sb_dgamma = jnp.sum(dz * xhat, axis=(1, 2))   # (B, C)
+        dbeta = jnp.sum(sb_dbeta, axis=0).astype(beta.dtype)
+        dgamma = jnp.sum(sb_dgamma, axis=0).astype(gamma.dtype)
+        inv_n = 1.0 / (H * W * (C // G))
+        t1 = _gn_expand(jnp.sum((sb_dbeta * gamma_f)
+                                .reshape(B, G, C // G), axis=2) * inv_n,
+                        C, G)
+        t2 = _gn_expand(jnp.sum((sb_dgamma * gamma_f)
+                                .reshape(B, G, C // G), axis=2) * inv_n,
+                        C, G)
+        dx = (rstd_c * (dz * gamma_f - t1 - xhat * t2)).astype(x.dtype)
+        return dx, dgamma, dbeta
+
+    gn.defvjp(gn_fwd, gn_bwd)
+    return gn
+
+
+# "autodiff" (default) = plain expression under jax.grad — measured
+# FASTEST in situ: XLA fuses the normalize+SiLU into the consumer convs
+# and the stat reductions into producer epilogues on its own, and both
+# alternatives below disrupt that pipeline.  "fused" = same expressions
+# behind a custom VJP with recompute-from-(x,mean,rstd) backward (smaller
+# residuals, but the VJP boundary costs ~0.8 ms/step of lost fusions).
+# "pallas" = the VMEM-resident kernel (ops/pallas/groupnorm.py; loses in
+# situ to custom-call layout pinning — XLA lays conv activations out
+# {3,0,2,1} while custom calls pin default {3,2,1,0}, so every call pays
+# transpose copies both directions).
+_GN_MODE = os.environ.get(
+    "UNET_TPU_GN",
+    "pallas" if os.environ.get("UNET_TPU_PALLAS", "0") == "1"
+    else "autodiff")
+
+
+def set_gn_mode(name: str) -> None:
+    """Select the GroupNorm implementation BEFORE tracing: "fused"
+    (default), "autodiff", or "pallas".  Also via UNET_TPU_GN."""
+    global _GN_MODE
+    assert name in ("fused", "autodiff", "pallas"), name
+    _GN_MODE = name
 
 
 def group_norm_silu(x, gamma, beta, *, num_groups=32, eps=1e-5,
                     act: str = "silu"):
     """GroupNorm fused with SiLU (or plain GN with act="none").
 
-    UNET_TPU_PALLAS=1 runs the Pallas fused kernel
-    (ops/pallas/groupnorm.py) on TPU.  Default is the XLA expression.
-
-    Measured on a v5e: standalone, the kernel BEATS XLA's fusions
-    (fwd 0.019 vs 0.025 ms at 32x64x64x64); inside the full train step it
-    LOSES (31.2 vs 20.7 ms/step) because XLA pins custom-call operands to
-    default {3,2,1,0} layouts while it lays activations out {3,0,2,1}
-    for the convs — every GN call gets layout-transpose copies on input
-    and output, in both fwd and bwd.  Until Mosaic accepts non-default
-    operand layouts, the XLA path wins in situ.  Both paths are
-    numerically identical (fp32 two-pass stats) and covered by
-    tests/test_pallas.py.
+    All modes share the fp32-statistics numerics of the reference
+    (train_unet.cu:1768-1829); see set_gn_mode / tests/test_pallas.py.
     """
-    if _PALLAS_GN and jax.default_backend() == "tpu":
+    if _GN_MODE == "pallas" and jax.default_backend() == "tpu":
         from unet_tpu.ops.pallas.groupnorm import group_norm_act
         return group_norm_act(x, gamma, beta, num_groups, eps, act)
+    if _GN_MODE == "fused":
+        return _gn_act_xla(num_groups, eps, act)(x, gamma, beta)
     y = group_norm(x, gamma, beta, num_groups=num_groups, eps=eps)
     return silu(y) if act == "silu" else y
 
@@ -177,6 +296,25 @@ def timestep_embedding(t, dim, *, max_period=1000):
     return emb
 
 
+_ATTN_MODE = os.environ.get("UNET_TPU_ATTN", "auto")
+
+
+def set_attn_mode(name: str) -> None:
+    """Select the attention implementation BEFORE tracing: "auto"
+    (default: the fused Pallas kernel for bf16 sequences of T >= 512 on
+    TPU, XLA einsums below), "fused" (kernel whenever legal), or "xla"
+    (einsums always).  Also via UNET_TPU_ATTN.
+
+    Measured on a v5e: at T=1024 (the 128x128 stretch config) the kernel
+    takes the full bf16 train step 98.0 -> 82.4 ms (XLA materializes the
+    (B,NH,T,T) scores in HBM several times per direction); at T <= 256
+    (the 64x64 config) XLA's batched GEMMs win by ~1.5 ms/step, so auto
+    keeps them."""
+    global _ATTN_MODE
+    assert name in ("auto", "fused", "xla"), name
+    _ATTN_MODE = name
+
+
 def qkv_attention(qkv, num_heads):
     """Non-causal MHA with the guided-diffusion "new attention order" head
     split (reference train_unet.py:159-187, train_unet.cu:2386-2744).
@@ -186,13 +324,21 @@ def qkv_attention(qkv, num_heads):
     Softmax in fp32; scale applied to q before the dot, as the reference
     does for fp16 stability.
 
-    Stays on plain XLA batched matmuls deliberately: T <= 256 at the
-    64x64 config, and even at the 128x128 stretch (T=1024) the Pallas
-    flash_attention library kernel measured 2.5x SLOWER on a v5e
-    (fwd 7.3 vs 2.9 ms, bwd 22.8 vs 8.4 ms at B=32, C=192) — HS=32 pads
-    4x against the 128-lane MXU inside the kernel, while XLA's batched
-    GEMMs handle the small head dim better.
+    bf16 on TPU routes to the fused Pallas kernel
+    (ops/pallas/attention.py): scores never touch HBM and the backward
+    recomputes them instead of saving fp32 softmax weights.  f32 stays on
+    XLA einsums so the _mm_precision contract (HIGHEST-pass parity)
+    applies.  NB the library flash_attention kernel is NOT suitable here:
+    HS=32 pads 4x against its internal 128-lane tiling (measured 2.5x
+    slower than XLA on a v5e).
     """
+    use_kernel = (_ATTN_MODE == "fused"
+                  or (_ATTN_MODE == "auto" and qkv.shape[1] >= 512))
+    if (use_kernel and qkv.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and qkv.shape[1] % 8 == 0):
+        from unet_tpu.ops.pallas.attention import qkv_attention_fused
+        return qkv_attention_fused(qkv, num_heads)
     B, T, C3 = qkv.shape
     C = C3 // 3
     NH = num_heads
