@@ -212,7 +212,14 @@ def main(argv=None) -> None:
         global_batch = tc.batch_size * n_dev
     else:
         if args.log_norms:
-            step_fn = trainer.make_train_step_aux(cfg, tc, diffusion)
+            # AOT-compile so the peak-memory metric can fall back to the
+            # XLA buffer-assignment analysis on platforms whose runtime
+            # exposes no allocator stats (the axon PJRT plugin).
+            step_fn = trainer.make_train_step_aux(
+                cfg, tc, diffusion).lower(
+                state, jax.ShapeDtypeStruct(
+                    (tc.batch_size, cfg.image_size, cfg.image_size,
+                     cfg.in_channels), jnp.float32)).compile()
             step_with = None
         else:
             step_fn, step_with = trainer.make_train_step(cfg, tc, diffusion)
@@ -295,7 +302,7 @@ def main(argv=None) -> None:
             kv_log.logkv("loss", mean_loss)
             kv_log.logkv("ms_per_step", dt * 1e3)
             if args.log_norms:
-                peak = trainer.device_peak_memory_mib()
+                peak = trainer.device_peak_memory_mib(compiled=step_fn)
                 if peak is not None:
                     kv_log.logkv("peak_mem_MiB", round(peak, 1))
             kv_log.dumpkvs()

@@ -174,15 +174,34 @@ def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def device_peak_memory_mib() -> Optional[float]:
+def device_peak_memory_mib(compiled=None) -> Optional[float]:
     """Peak device memory in MiB (the reference logs
-    torch.cuda.max_memory_allocated, train_unet.py:1036)."""
+    torch.cuda.max_memory_allocated, train_unet.py:1036).
+
+    Runtime allocator stats when the platform exposes them; otherwise
+    (e.g. the axon PJRT plugin returns no memory_stats) falls back to the
+    XLA buffer-assignment peak of `compiled` — the compile-time analog,
+    which on TPU is exact for the program's own arena (static planning,
+    like the reference's unet_make_ptrs_and_count_memory,
+    train_unet.cu:3856)."""
     try:
         stats = jax.devices()[0].memory_stats()
-        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
-        return None if peak is None else peak / (1024 * 1024)
+        peak = (stats or {}).get("peak_bytes_in_use") \
+            or (stats or {}).get("bytes_in_use")
+        if peak is not None:
+            return peak / (1024 * 1024)
     except Exception:
-        return None
+        pass
+    if compiled is not None:
+        try:
+            ma = compiled.memory_analysis()
+            peak = (ma.peak_memory_in_bytes
+                    or (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                        + ma.output_size_in_bytes))
+            return peak / (1024 * 1024)
+        except Exception:
+            pass
+    return None
 
 
 # ---------------------------------------------------------------------------
