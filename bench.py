@@ -81,13 +81,15 @@ def main() -> None:
         chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
             (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(K)])
             for _ in range(2)]
+        from unet_tpu.utils.benchmark import _drain
         state, losses = ms_fn(state, chunks[0])   # warmup/compile
-        jax.block_until_ready(losses)
+        _drain(losses)
         t0 = time.perf_counter()
         n = max(2, args.reps // K)
         for i in range(n):
             state, losses = ms_fn(state, chunks[i % 2])
-        jax.block_until_ready(losses)
+        _drain(losses)  # scalar readback: block_until_ready does not
+        #                 reliably block on the tunneled axon platform
         return (time.perf_counter() - t0) / (n * K) * 1e3
 
     headline_ms = bench_step(args.dtype)
@@ -110,11 +112,12 @@ def main() -> None:
         SB = 32
         sampler = make_sampler(cfg, diffusion, batch_size=SB,
                                compute_dtype=jnp.dtype(args.dtype))
+        from unet_tpu.utils.benchmark import _drain
         imgs = sampler(params, jax.random.PRNGKey(0))  # compile
-        jax.block_until_ready(imgs)
+        _drain(imgs)
         t0 = time.perf_counter()
         imgs = sampler(params, jax.random.PRNGKey(1))
-        jax.block_until_ready(imgs)
+        _drain(imgs)
         dt = time.perf_counter() - t0
         print(f"ddpm_sample B={SB} ({cfg.max_period - 2} steps): "
               f"{dt:.2f} s = {SB / dt:.3f} samples/s", file=sys.stderr)
@@ -122,13 +125,14 @@ def main() -> None:
     # B=1 998-step chain: BASELINE.md:26-30 defines the samples/sec metric
     # as the generate.py-equivalent path (998 sequential B=1 forwards,
     # reference generate.py:77-80).
+    from unet_tpu.utils.benchmark import _drain
     sampler1 = make_sampler(cfg, diffusion, batch_size=1,
                             compute_dtype=jnp.dtype(args.dtype))
     imgs = sampler1(params, jax.random.PRNGKey(0))  # compile
-    jax.block_until_ready(imgs)
+    _drain(imgs)
     t0 = time.perf_counter()
     imgs = sampler1(params, jax.random.PRNGKey(1))
-    jax.block_until_ready(imgs)
+    _drain(imgs)
     b1_s = time.perf_counter() - t0
     print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s "
           f"= {1 / b1_s:.3f} samples/s", file=sys.stderr)

@@ -70,6 +70,29 @@ def main():
     r = benchmark(attn, reps=args.reps, rotate=[(ap, x) for x in xs])
     print(f"attention block @16x16x192 fwd: {r['mean_ms']:.3f} ms")
 
+    # attention core @T=1024 (the 128x128 stretch shape: 32x32 spatial,
+    # C=192, HS=32) — fused Pallas kernel vs XLA einsums, fwd and
+    # fwd+bwd.  This is the stage that pinned the 128px step at ~5% of
+    # MXU peak on XLA (scores materialized in HBM).
+    if jax.default_backend() == "tpu" and dt == jnp.bfloat16:
+        from unet_tpu.ops.pallas.attention import qkv_attention_fused
+        T, C, NH = 1024, 192, 6
+        qs = [t(B, T, 3 * C) for _ in range(N_ROT)]
+        dout = t(B, T, C)
+        for name, fn in (("xla", lambda q: F.set_attn_mode("xla") or
+                          F.qkv_attention(q, NH)),
+                         ("pallas", lambda q: qkv_attention_fused(q, NH))):
+            fwd = jax.jit(fn)
+            r = benchmark(fwd, reps=min(args.reps, 20),
+                          rotate=[(q,) for q in qs])
+            gfn = jax.jit(jax.grad(lambda q: jnp.sum(
+                fn(q).astype(jnp.float32) * dout.astype(jnp.float32))))
+            rg = benchmark(gfn, reps=min(args.reps, 20),
+                           rotate=[(q,) for q in qs])
+            print(f"attention core T=1024 C=192 {name}: "
+                  f"fwd {r['mean_ms']:.3f} ms, fwd+bwd {rg['mean_ms']:.3f} ms")
+        F.set_attn_mode("auto")
+
     # resblock @64x64 64->64
     rp = blocks.resblock_init(jax.random.PRNGKey(1), 64, 64, 256)
     rp = jax.tree.map(lambda a: a.astype(dt), rp)

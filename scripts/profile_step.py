@@ -57,17 +57,19 @@ def main() -> None:
 
     results = {}
 
+    from unet_tpu.utils.benchmark import _drain
+
     def run(name, ms_fn, state):
         cs = chunks()
         t0 = time.perf_counter()
         state, losses = ms_fn(state, cs[0])
-        jax.block_until_ready(losses)
+        _drain(losses)
         print(f"{name}: compile+first {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
         t0 = time.perf_counter()
         for i in range(args.reps):
             state, losses = ms_fn(state, cs[i % 2])
-        jax.block_until_ready(losses)
+        _drain(losses)
         ms = (time.perf_counter() - t0) / (args.reps * K) * 1e3
         results[name] = ms
         print(f"{name}: {ms:.2f} ms/step", file=sys.stderr)

@@ -20,23 +20,54 @@ import jax
 import numpy as np
 
 
+def _drain(out) -> float:
+    """Force the device queue to drain: a scalar reduction of the LAST
+    output, fetched to host.  TPUs execute queued programs in submission
+    order, so this waits for every dispatched rep.  (On the tunneled
+    axon platform `jax.block_until_ready` does NOT reliably block, and a
+    full-array fetch pays the tunnel's bandwidth — a scalar readback is
+    the only sound sync primitive there.)"""
+    import jax.numpy as jnp
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def benchmark(fn, *args, reps: int = 20, warmup: int = 2,
-              rotate: Sequence[tuple] = ()) -> dict:
+              rotate: Sequence[tuple] = (), chunks: int = 4) -> dict:
     """Times `fn(*args)` (or `fn(*rotate[i % len])` when `rotate` is given).
-    Returns {"mean_ms", "std_ms", "reps"}."""
+    Returns {"mean_ms", "std_ms", "reps"}.
+
+    Reps are dispatched pipelined in `chunks` groups, each group ending
+    with one scalar-readback sync whose round-trip latency is measured
+    and subtracted — per-rep host syncs would add the full tunnel RTT
+    (~33 ms on this machine's axon link) to every rep.  Numbers below
+    ~0.1 ms/op remain RTT-jitter-bound; use utils.benchmark.trace for
+    those."""
     arg_sets = list(rotate) if rotate else [args]
-    for i in range(warmup):
+    for i in range(max(warmup, 1)):
         out = fn(*arg_sets[i % len(arg_sets)])
-    jax.block_until_ready(out)
-    times = []
-    for i in range(reps):
+    _drain(out)
+    # median sync round-trip, subtracted from each chunk below
+    rtts = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*arg_sets[i % len(arg_sets)])
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
+        _drain(out)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    per_chunk = max(1, reps // chunks)
+    times = []
+    i = 0
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(per_chunk):
+            out = fn(*arg_sets[i % len(arg_sets)])
+            i += 1
+        _drain(out)
+        times.append(max(time.perf_counter() - t0 - rtt, 0.0)
+                     / per_chunk * 1e3)
     arr = np.asarray(times)
     return {"mean_ms": float(arr.mean()), "std_ms": float(arr.std()),
-            "reps": reps}
+            "reps": per_chunk * chunks}
 
 
 class ValidationError(AssertionError):
