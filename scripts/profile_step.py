@@ -26,6 +26,7 @@ def main() -> None:
     p.add_argument("--paths", default="multi,flat")
     p.add_argument("--reps", type=int, default=4, help="timed reps of K-step scan")
     p.add_argument("--K", type=int, default=10)
+    p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -78,7 +79,8 @@ def main() -> None:
     paths = args.paths.split(",")
     traced = None
     if "multi" in paths:
-        ms_fn = trainer.make_multi_step(cfg, tc, diffusion)
+        ms_fn = trainer.make_multi_step(cfg, tc, diffusion,
+                                        unroll=args.unroll)
         state = trainer.init_state(jax.tree.map(jnp.array, params))
         traced = run("multi(pytree)", ms_fn, state)
     if "flat" in paths:

@@ -100,7 +100,7 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
 
 def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
                     diffusion: Optional[GaussianDiffusion] = None,
-                    donate: bool = True):
+                    donate: bool = True, unroll: int = 1):
     """Returns jitted `multi_step(state, batches) -> (state, losses)` that
     scans K train steps in ONE XLA program.
 
@@ -130,7 +130,7 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
         return state._replace(params=params, m=m, v=v, step=new_step), loss
 
     def multi_step(state: TrainState, batches):
-        return jax.lax.scan(one, state, batches)
+        return jax.lax.scan(one, state, batches, unroll=unroll)
 
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
