@@ -102,6 +102,34 @@ def test_graft_entry_dryrun():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_tp_matches_replicated(tiny_setup):
+    """Megatron-style tensor parallelism over the 'model' axis: conv1/
+    qkv/emb column-sharded, conv2/proj row-sharded (GSPMD all-reduces the
+    partial sums).  Same losses as replicated DP over two steps."""
+    params, batch = tiny_setup
+    tc = TrainConfig(batch_size=8)
+    mesh = pmesh.make_mesh(data=4, model=2)
+
+    step_rep = pmesh.make_parallel_train_step(TINY, tc, mesh, donate=False)
+    s_rep = pmesh.shard_state(trainer.init_state(params), mesh)
+    s_rep, l1 = step_rep(s_rep, pmesh.shard_batch(batch, mesh))
+    s_rep, l2 = step_rep(s_rep, pmesh.shard_batch(batch, mesh))
+
+    step_tp = pmesh.make_parallel_train_step(
+        TINY, tc, mesh, tp=True, example_params=params, donate=False)
+    s_t = pmesh.shard_state(trainer.init_state(params), mesh, tp=True)
+    # column-parallel weights are actually sharded on their output dim
+    leaf = s_t.params["input"][1]["res"]["conv1"]["w"]
+    assert not leaf.sharding.is_fully_replicated
+    spec = leaf.sharding.spec
+    assert spec[-1] == "model", spec
+    s_t, t1 = step_tp(s_t, pmesh.shard_batch(batch, mesh))
+    s_t, t2 = step_tp(s_t, pmesh.shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(t1), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(t2), float(l2), rtol=1e-4)
+
+
 def test_fsdp_matches_replicated(tiny_setup):
     """ZeRO-style sharded params/moments: same losses as replicated DP
     over two steps (GSPMD all-gathers on use, reduce-scatters grads)."""

@@ -81,10 +81,51 @@ def fsdp_sharding(mesh: Mesh, params) -> "object":
     return jax.tree.map(spec, params)
 
 
+def tp_sharding(mesh: Mesh, params) -> "object":
+    """Megatron-style tensor parallelism over the 'model' axis.
+
+    Column-parallel (output channels / heads sharded): each ResBlock's
+    conv1 + its emb projection, and the attention qkv — their outputs are
+    channel-sharded, which GroupNorm tolerates shard-locally because the
+    32 groups split evenly across the axis.  Row-parallel (input channels
+    sharded, outputs partial-summed by a GSPMD all-reduce): conv2 and the
+    attention proj — the classic pairing that needs one all-reduce per
+    block per direction.  Everything else (conv_in/out head, time MLP,
+    GN affines, skip projections) stays replicated; leaves whose
+    dimension does not divide the axis stay replicated too.
+
+    The reference has no distribution layer at all (SURVEY.md section
+    2.8); this is the TPU-native green-field design: annotate weight
+    shardings, let GSPMD place the collectives on ICI.
+    """
+    n = mesh.shape["model"]
+    COL = {"conv1", "qkv", "emb"}
+    ROW = {"conv2", "proj"}
+
+    def spec(path, a):
+        names = [k.key for k in path
+                 if isinstance(k, jax.tree_util.DictKey)]
+        dims = getattr(a, "shape", ())
+        mod = names[-2] if len(names) >= 2 else None
+        leaf = names[-1] if names else None
+        if mod in COL and dims and dims[-1] % n == 0:
+            parts = [None] * len(dims)
+            parts[-1] = "model"
+            return NamedSharding(mesh, P(*parts))
+        if mod in ROW and leaf == "w" and len(dims) >= 2 \
+                and dims[-2] % n == 0:
+            parts = [None] * len(dims)
+            parts[-2] = "model"
+            return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
                              diffusion: Optional[GaussianDiffusion] = None,
                              *, spatial: bool = False, fsdp: bool = False,
-                             donate: bool = True,
+                             tp: bool = False, donate: bool = True,
                              example_params=None):
     """Jitted `train_step(state, global_batch) -> (state, loss)` over the
     mesh.  `global_batch` is (B_global, H, W, C); B_global must divide by
@@ -94,9 +135,14 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
 
     fsdp=True additionally shards params and AdamW moments over the
     'data' axis (requires `example_params` to derive the sharding tree;
-    see fsdp_sharding).  Use shard_state(state, mesh, fsdp_tree) to place
-    the initial state.
+    see fsdp_sharding).  tp=True shards them Megatron-style over the
+    'model' axis instead (see tp_sharding; mutually exclusive with
+    spatial, which uses the same axis for activation height).  Use
+    shard_state(state, mesh, fsdp=..., tp=...) to place the initial
+    state.
     """
+    assert not (tp and spatial), "tp and spatial both use the model axis"
+    assert not (tp and fsdp), "combine tp with fsdp via a custom tree"
     if diffusion is None:
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
@@ -120,9 +166,10 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
         return state._replace(params=params, m=m, v=v, step=new_step), loss
 
     rep = replicated(mesh)
-    if fsdp:
-        assert example_params is not None, "fsdp needs example_params"
-        ptree = fsdp_sharding(mesh, example_params)
+    if fsdp or tp:
+        assert example_params is not None, "fsdp/tp needs example_params"
+        shard_fn = fsdp_sharding if fsdp else tp_sharding
+        ptree = shard_fn(mesh, example_params)
         state_sh = trainer.TrainState(params=ptree, m=ptree, v=ptree,
                                       step=rep, rng=rep)
     else:
@@ -136,11 +183,12 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
 
 
 def shard_state(state: trainer.TrainState, mesh: Mesh,
-                fsdp: bool = False) -> trainer.TrainState:
-    """Place a TrainState onto the mesh (replicated, or FSDP-sharded
-    params/moments when fsdp=True)."""
-    if fsdp:
-        ptree = fsdp_sharding(mesh, state.params)
+                fsdp: bool = False, tp: bool = False) -> trainer.TrainState:
+    """Place a TrainState onto the mesh (replicated; FSDP-sharded over
+    'data' when fsdp=True; Megatron-sharded over 'model' when tp=True)."""
+    if fsdp or tp:
+        shard_fn = fsdp_sharding if fsdp else tp_sharding
+        ptree = shard_fn(mesh, state.params)
         rep = replicated(mesh)
         return trainer.TrainState(
             params=jax.device_put(state.params, ptree),
