@@ -40,6 +40,9 @@ def main() -> None:
                              "the BASELINE stretch goal")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--no-secondary", action="store_true")
+    parser.add_argument("--no-stretch", action="store_true",
+                        help="skip the 128x128 stretch-config measurement "
+                             "(BASELINE.md:30)")
     args = parser.parse_args()
 
     import jax
@@ -137,8 +140,32 @@ def main() -> None:
     print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s "
           f"= {1 / b1_s:.3f} samples/s", file=sys.stderr)
 
+    stretch_ms = None
+    if not args.no_stretch and args.image_size == 64:
+        # the 128x128 stretch goal (BASELINE.md:30): same model family,
+        # T=1024 at the first attention level -> fused Pallas attention
+        cfg128 = UnetConfig(image_size=128)
+        tc = TrainConfig(batch_size=B, compute_dtype=args.dtype)
+        ms_fn = trainer.make_multi_step(cfg128, tc, diffusion)
+        p128 = jax.jit(lambda k: unet.init(k, cfg128))(jax.random.PRNGKey(0))
+        st = trainer.init_state(jax.tree.map(jnp.array, p128))
+        K = 5
+        chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
+            (B, 128, 128, 3)).astype(np.float32) * 0.5) for _ in range(K)])
+            for _ in range(2)]
+        from unet_tpu.utils.benchmark import _drain
+        st, losses = ms_fn(st, chunks[0])
+        _drain(losses)
+        t0 = time.perf_counter()
+        for i in range(4):
+            st, losses = ms_fn(st, chunks[i % 2])
+        _drain(losses)
+        stretch_ms = (time.perf_counter() - t0) / (4 * K) * 1e3
+        print(f"train_step {args.dtype} 128x128: {stretch_ms:.2f} ms",
+              file=sys.stderr)
+
     baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
-    print(json.dumps({
+    out = {
         "metric": f"imagenet{args.image_size}_train_step_ms"
                   if args.image_size != 64 else "imagenet64_train_step_ms",
         "value": round(headline_ms, 2),
@@ -146,7 +173,10 @@ def main() -> None:
         "vs_baseline": round(baseline_ms / headline_ms, 3),
         "ddpm_b1_sample_s": round(b1_s, 3),
         "ddpm_b1_samples_per_s": round(1 / b1_s, 3),
-    }))
+    }
+    if stretch_ms is not None:
+        out["imagenet128_train_step_ms"] = round(stretch_ms, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -97,6 +97,33 @@ def test_spatial_sharding_runs(tiny_setup):
     assert np.isfinite(float(loss))
 
 
+def test_parallel_sampler_matches_single_device(tiny_setup):
+    """The mesh-parallel DDPM sampler (batch over 'data') produces the
+    same images as the single-device sampler for the same key."""
+    from unet_tpu.diffusion.gaussian import (GaussianDiffusion,
+                                             named_beta_schedule)
+    from unet_tpu.diffusion import sampler as dsampler
+    params, _ = tiny_setup
+    cfg = UnetConfig(model_channels=32, image_size=16,
+                     attention_ds=(2, 4), num_head_channels=32,
+                     channel_mult=(1, 2), max_period=12)
+    params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule("linear", cfg.max_period))
+    key = jax.random.PRNGKey(7)
+
+    single = dsampler.make_sampler(cfg, diffusion, batch_size=8)
+    ref = np.asarray(single(params, key))
+
+    mesh = pmesh.make_mesh(data=8)
+    par = dsampler.make_parallel_sampler(cfg, diffusion, mesh,
+                                         batch_size=8)
+    out = par(jax.device_put(params, pmesh.replicated(mesh)), key)
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)), ref,
+                               atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

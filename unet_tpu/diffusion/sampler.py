@@ -70,6 +70,29 @@ def make_sampler(cfg: UnetConfig, diffusion: GaussianDiffusion, *,
         batch_size=batch_size, compute_dtype=compute_dtype))
 
 
+def make_parallel_sampler(cfg: UnetConfig, diffusion: GaussianDiffusion,
+                          mesh, *, batch_size: int,
+                          compute_dtype=jnp.float32):
+    """Jitted `sample(params, key) -> (B, H, W, C)` sharded over a mesh:
+    the batch splits across the 'data' axis (each chip runs the full
+    998-step chain on its shard; params replicated), the serving-side
+    analog of the data-parallel train step.  `batch_size` is the GLOBAL
+    batch and must divide by the data-axis size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    assert batch_size % mesh.shape["data"] == 0, (
+        batch_size, dict(mesh.shape))
+    rep = NamedSharding(mesh, P())
+    xsh = NamedSharding(mesh, P("data", None, None, None))
+
+    def sample(params, key):
+        x = ddpm_sample(params, cfg, diffusion, key,
+                        batch_size=batch_size,
+                        compute_dtype=compute_dtype)
+        return jax.lax.with_sharding_constraint(x, xsh)
+
+    return jax.jit(sample, in_shardings=(rep, rep), out_shardings=xsh)
+
+
 def to_uint8(images) -> "jnp.ndarray":
     """[-1, 1] float -> uint8, the reference's unscale rule
     (generate.py:82-85)."""
