@@ -34,7 +34,7 @@ def main() -> None:
                              "float32, UNET_TPU_F32_PRECISION=highest|"
                              "high|default picks 6/3/1 MXU passes "
                              "(exact-f32 / ~f32 / bf16 quality)")
-    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--reps", type=int, default=40)
     parser.add_argument("--image_size", type=int, default=64,
                         help="64 = the reference benchmark config; 128 = "
                              "the BASELINE stretch goal")
@@ -86,6 +86,8 @@ def main() -> None:
             for _ in range(2)]
         from unet_tpu.utils.benchmark import _drain
         state, losses = ms_fn(state, chunks[0])   # warmup/compile
+        _drain(losses)
+        state, losses = ms_fn(state, chunks[1])   # post-compile warmup
         _drain(losses)
         t0 = time.perf_counter()
         n = max(2, args.reps // K)
