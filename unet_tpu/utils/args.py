@@ -1,8 +1,11 @@
 """Defaults-dict -> argparse auto-generation.
 
-The reference's config/flag system (reference utils.py:26-33,
-train_unet.py:660-727): every key of a defaults dict becomes a CLI flag
-with type inferred from the default; bools accept true/false strings.
+Reimplements the CONTRACT of the reference's config/flag system
+(reference utils.py:26-33, train_unet.py:660-727): every key of a
+defaults dict becomes a `--key` CLI flag whose type is inferred from the
+default value, and boolean flags accept explicit true/false-style words
+(`--flag true`) rather than argparse's store_true, so command lines stay
+compatible with the reference's.
 """
 
 from __future__ import annotations
@@ -10,27 +13,39 @@ from __future__ import annotations
 import argparse
 from typing import Dict
 
+_TRUE_WORDS = frozenset({"1", "t", "y", "true", "yes", "on"})
+_FALSE_WORDS = frozenset({"0", "f", "n", "false", "no", "off"})
 
-def str2bool(v) -> bool:
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ("yes", "true", "t", "y", "1"):
+
+def str2bool(value) -> bool:
+    """Parse the reference CLI's explicit boolean words (utils.py:13-24
+    semantics; also used by guided-diffusion, which both repos derive
+    from)."""
+    if isinstance(value, bool):
+        return value
+    word = str(value).strip().lower()
+    if word in _TRUE_WORDS:
         return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
+    if word in _FALSE_WORDS:
         return False
-    raise argparse.ArgumentTypeError("boolean value expected")
+    raise argparse.ArgumentTypeError(
+        f"expected a boolean word (true/false/...), got {value!r}")
 
 
 def add_dict_to_argparser(parser: argparse.ArgumentParser,
                           defaults: Dict) -> None:
-    for k, v in defaults.items():
-        v_type = type(v)
-        if v is None:
-            v_type = str
-        elif isinstance(v, bool):
-            v_type = str2bool
-        parser.add_argument(f"--{k}", default=v, type=v_type)
+    """One `--<key>` flag per defaults entry; type follows the default
+    (None -> free-form string, bool -> str2bool)."""
+    for key, default in defaults.items():
+        if default is None:
+            parse = str
+        elif isinstance(default, bool):
+            parse = str2bool
+        else:
+            parse = type(default)
+        parser.add_argument(f"--{key}", type=parse, default=default)
 
 
 def args_to_dict(args: argparse.Namespace, keys) -> Dict:
-    return {k: getattr(args, k) for k in keys}
+    """Project the parsed namespace back onto a config dict."""
+    return {key: getattr(args, key) for key in keys}
