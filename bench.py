@@ -39,7 +39,12 @@ def main() -> None:
                         help="64 = the reference benchmark config; 128 = "
                              "the BASELINE stretch goal")
     parser.add_argument("--remat", action="store_true")
-    parser.add_argument("--no-secondary", action="store_true")
+    parser.add_argument("--secondary", action="store_true",
+                        help="also measure the other compute dtype, "
+                             "fwd-only, and the B=32 sampler (stderr "
+                             "only; ~3 extra compiles)")
+    parser.add_argument("--no-secondary", action="store_true",
+                        help="(default) kept for compatibility")
     parser.add_argument("--no-stretch", action="store_true",
                         help="skip the 128x128 stretch-config measurement "
                              "(BASELINE.md:30)")
@@ -100,7 +105,7 @@ def main() -> None:
     headline_ms = bench_step(args.dtype)
     print(f"train_step {args.dtype}: {headline_ms:.2f} ms", file=sys.stderr)
 
-    if not args.no_secondary:
+    if args.secondary and not args.no_secondary:
         other = "float32" if args.dtype == "bfloat16" else "bfloat16"
         other_ms = bench_step(other)
         print(f"train_step {other}: {other_ms:.2f} ms", file=sys.stderr)
@@ -156,7 +161,9 @@ def main() -> None:
             (B, 128, 128, 3)).astype(np.float32) * 0.5) for _ in range(K)])
             for _ in range(2)]
         from unet_tpu.utils.benchmark import _drain
-        st, losses = ms_fn(st, chunks[0])
+        st, losses = ms_fn(st, chunks[0])   # compile
+        _drain(losses)
+        st, losses = ms_fn(st, chunks[1])   # post-compile warmup
         _drain(losses)
         t0 = time.perf_counter()
         for i in range(4):
