@@ -60,7 +60,9 @@ def main():
     g, be = jnp.ones(64, dt), jnp.zeros(64, dt)
     gn = jax.jit(lambda x, g, b: F.group_norm_silu(x, g, b))
     r = benchmark(gn, reps=args.reps, rotate=[(x, g, be) for x in xs])
-    print(f"groupnorm+silu @64x64x64 fwd: {r['mean_ms']:.3f} ms")
+    print(f"groupnorm+silu @64x64x64 fwd: {r['mean_ms']:.3f} ms "
+          f"(standalone; in-situ XLA fuses it into the consumer convs — "
+          f"docs/PERF.md)")
 
     # attention block @16x16x192 (first attention resolution)
     ap = blocks.attention_init(jax.random.PRNGKey(0), 192)
