@@ -25,6 +25,85 @@ import time
 import numpy as np
 
 
+def verify_pallas_kernels() -> int:
+    """Validate the Mosaic-COMPILED Pallas kernels on the real device
+    against the XLA paths (the CPU suite only covers interpret mode).
+    Mirrors the reference's on-device per-kernel validation
+    (dev/common.h:57-86 + per-op mains).  Shapes: the 128x128 production
+    attention shape (B=32, T=1024, C=192, HS=32), the reference
+    dev/attention.cu core shape (B=4, T=1024, C=256, HS=32,
+    dev/attention.cu:370-375), and the model's GroupNorm slabs.
+    Prints per-tensor fault counts to stderr; raises on any fault.
+    Returns the total fault count (0 = all kernels device-verified)."""
+    import jax
+    import jax.numpy as jnp
+    from unet_tpu.ops import functional as F
+    from unet_tpu.ops.pallas.attention import qkv_attention_fused
+    from unet_tpu.ops.pallas.groupnorm import group_norm_act
+    from unet_tpu.utils.benchmark import validate_result
+
+    rng = np.random.default_rng(3)
+    total = 0
+
+    def check(name, actual, expected, tol=3e-2):
+        nonlocal total
+        e = np.asarray(expected, np.float32)
+        atol = tol * max(1.0, float(np.abs(e).max()))
+        n = validate_result(actual, e, name=name, atol=atol)
+        total += n
+        print(f"verify {name}: {n} faults (atol={atol:.3g})",
+              file=sys.stderr)
+
+    for B, T, C, NH in [(32, 1024, 192, 6), (4, 1024, 256, 8)]:
+        qkv = jnp.asarray(rng.standard_normal((B, T, 3 * C))
+                          .astype(np.float32)).astype(jnp.bfloat16)
+        dout = jnp.asarray(rng.standard_normal((B, T, C))
+                           .astype(np.float32)).astype(jnp.bfloat16)
+
+        F.set_attn_mode("xla")
+        try:
+            ref_out = jax.jit(lambda q: F.qkv_attention(q, NH))(qkv)
+            ref_g = jax.jit(jax.grad(lambda q: jnp.sum(
+                (F.qkv_attention(q, NH) * dout)
+                .astype(jnp.float32))))(qkv)
+        finally:
+            F.set_attn_mode("auto")
+        out = jax.jit(lambda q: qkv_attention_fused(q, NH))(qkv)
+        g = jax.jit(jax.grad(lambda q: jnp.sum(
+            (qkv_attention_fused(q, NH) * dout)
+            .astype(jnp.float32))))(qkv)
+        tag = f"attn[B={B},T={T},C={C}]"
+        check(f"{tag} out", out, ref_out)
+        check(f"{tag} dqkv", g, ref_g)
+
+    for B, H, W, C in [(32, 64, 64, 64), (32, 16, 16, 192)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, C))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        gamma = jnp.asarray(1 + 0.3 * rng.standard_normal(C)
+                            .astype(np.float32)).astype(jnp.bfloat16)
+        beta = jnp.asarray(0.2 * rng.standard_normal(C)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        dout = jnp.asarray(rng.standard_normal((B, H, W, C))
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        # f32 XLA ground truth (the kernel's two-pass fp32 stats contract)
+        xf, gf, bf = (a.astype(jnp.float32) for a in (x, gamma, beta))
+        ref_out = jax.jit(lambda x, g, b: F.silu(F.group_norm(
+            x, g, b, num_groups=32)))(xf, gf, bf)
+        ref_gs = jax.jit(jax.grad(lambda x, g, b: jnp.sum(
+            F.silu(F.group_norm(x, g, b, num_groups=32))
+            * dout.astype(jnp.float32)), argnums=(0, 1, 2)))(xf, gf, bf)
+        out = jax.jit(lambda x, g, b: group_norm_act(
+            x, g, b, 32, 1e-5, "silu"))(x, gamma, beta)
+        gs = jax.jit(jax.grad(lambda x, g, b: jnp.sum(
+            (group_norm_act(x, g, b, 32, 1e-5, "silu") * dout)
+            .astype(jnp.float32)), argnums=(0, 1, 2)))(x, gamma, beta)
+        tag = f"gn[B={B},{H}x{W},C={C}]"
+        check(f"{tag} out", out, ref_out)
+        for nm, a, e in zip(("dx", "dgamma", "dbeta"), gs, ref_gs):
+            check(f"{tag} {nm}", a, e)
+    return total
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", default="bfloat16",
@@ -48,6 +127,11 @@ def main() -> None:
     parser.add_argument("--no-stretch", action="store_true",
                         help="skip the 128x128 stretch-config measurement "
                              "(BASELINE.md:30)")
+    parser.add_argument("--no-verify", action="store_true",
+                        help="skip the on-device Pallas kernel validation "
+                             "(runs by default on TPU)")
+    parser.add_argument("--no-f32", action="store_true",
+                        help="skip the like-for-like f32 3-pass step")
     args = parser.parse_args()
 
     import jax
@@ -104,6 +188,28 @@ def main() -> None:
 
     headline_ms = bench_step(args.dtype)
     print(f"train_step {args.dtype}: {headline_ms:.2f} ms", file=sys.stderr)
+
+    verify_faults = None
+    if not args.no_verify and jax.default_backend() == "tpu":
+        verify_faults = verify_pallas_kernels()
+
+    # Like-for-like f32 numbers (the baseline is an fp32 measurement,
+    # BASELINE.md): 3-pass bf16x3 ("high", the tf32 analog — passes the
+    # 10-step trajectory test at exact-f32 fidelity, docs/PARITY.md).
+    f32_3pass_ms = f32_highest_ms = None
+    if not args.no_f32 and args.dtype == "bfloat16":
+        from unet_tpu.ops import functional as F
+        F.set_f32_precision("high")
+        try:
+            f32_3pass_ms = bench_step("float32")
+        finally:
+            F.set_f32_precision("highest")
+        print(f"train_step float32 (3-pass): {f32_3pass_ms:.2f} ms",
+              file=sys.stderr)
+        if args.secondary and not args.no_secondary:
+            f32_highest_ms = bench_step("float32")
+            print(f"train_step float32 (HIGHEST): {f32_highest_ms:.2f} ms",
+                  file=sys.stderr)
 
     if args.secondary and not args.no_secondary:
         other = "float32" if args.dtype == "bfloat16" else "bfloat16"
@@ -183,8 +289,15 @@ def main() -> None:
         "ddpm_b1_sample_s": round(b1_s, 3),
         "ddpm_b1_samples_per_s": round(1 / b1_s, 3),
     }
+    if f32_3pass_ms is not None:
+        out["f32_3pass_train_step_ms"] = round(f32_3pass_ms, 2)
+        out["f32_3pass_vs_baseline"] = round(baseline_ms / f32_3pass_ms, 3)
+    if f32_highest_ms is not None:
+        out["f32_highest_train_step_ms"] = round(f32_highest_ms, 2)
     if stretch_ms is not None:
         out["imagenet128_train_step_ms"] = round(stretch_ms, 2)
+    if verify_faults is not None:
+        out["pallas_verify_faults"] = verify_faults
     print(json.dumps(out))
 
 

@@ -198,7 +198,7 @@ struct BinLoader {
     if (file) fclose(file);
   }
 
-  bool open(const char* path, int batch_size) {
+  bool open(const char* path, int batch_size, int64_t start_batch) {
     file = fopen(path, "rb");
     if (!file) return false;
     int32_t header[256];
@@ -209,6 +209,12 @@ struct BinLoader {
     h = header[3];
     w = header[4];
     batch = batch_size;
+    // resume: same cursor arithmetic as the Python sequential loader
+    // (unet_tpu/data/dataset.py data_loader skip_batches) so a resumed
+    // run sees the identical batch sequence from step N on
+    int64_t per_epoch = n / batch;
+    if (per_epoch < 1) per_epoch = 1;
+    if (start_batch > 0) cursor = (start_batch % per_epoch) * batch;
     img_floats = static_cast<size_t>(c) * h * w;
     back.resize(img_floats * batch);
     chw.resize(img_floats);
@@ -299,9 +305,9 @@ void rng_set_state(void* r, const uint32_t* in625) {
 }
 
 // ---- dataloader ----
-void* loader_open(const char* path, int batch_size) {
+void* loader_open(const char* path, int batch_size, int64_t start_batch) {
   auto* l = new BinLoader();
-  if (!l->open(path, batch_size)) {
+  if (!l->open(path, batch_size, start_batch)) {
     delete l;
     return nullptr;
   }

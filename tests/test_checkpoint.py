@@ -176,3 +176,30 @@ def test_data_loader_flip_and_image_dir(tmp_path, rng):
         d, 4, size=8, class_cond=True))
     assert batch.shape == (4, 8, 8, 3)
     assert sorted(labels.tolist()) == [0, 0, 1, 1]
+
+
+def test_image_dir_loader_skip_batches(tmp_path, rng):
+    """Resume contract for --data_dir runs: skip_batches=N reproduces the
+    exact stream (pixels, flips, shuffle order, labels) a fresh loader
+    yields after dropping N batches (round-2 advisor finding)."""
+    from PIL import Image
+    d = os.path.join(tmp_path, "imgs")
+    os.makedirs(d)
+    for cls in ("ant", "bee"):
+        for i in range(5):
+            arr = (rng.uniform(0, 255, (8, 8, 3))).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{cls}_{i}.png"))
+    for randomize in (False, True):
+        for skip in (3, 7):  # mid-epoch and epoch-crossing (per_epoch=5)
+            fresh = dataset.image_dir_loader(
+                d, 2, size=8, class_cond=True, randomize=randomize, seed=9)
+            for _ in range(skip):
+                next(fresh)
+            resumed = dataset.image_dir_loader(
+                d, 2, size=8, class_cond=True, randomize=randomize, seed=9,
+                skip_batches=skip)
+            for _ in range(6):
+                b1, l1 = next(fresh)
+                b2, l2 = next(resumed)
+                np.testing.assert_array_equal(b1, b2)
+                np.testing.assert_array_equal(l1, l2)

@@ -165,11 +165,14 @@ def test_timestep_embedding():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
 
 
-def test_qkv_attention(rng):
-    # Reference attention-core test: B=4, T=1024, C=256, HS=32
-    # (dev/attention.cu:370-375) with the "new attention order" split
-    # (train_unet.py:168-187).
-    B, T, C, HS = 4, 256, 128, 32
+@pytest.mark.parametrize("B,T,C", [
+    (4, 1024, 256),   # the reference attention-core shape, dev/attention.cu:370-375
+    (4, 256, 128),    # the 64px model's first attention level
+])
+def test_qkv_attention(rng, B, T, C):
+    # Reference attention-core test (dev/attention.cu:370-375) with the
+    # "new attention order" split (train_unet.py:168-187).
+    HS = 32
     NH = C // HS
     import math
     qkv = t(rng, B, 3 * C, T)

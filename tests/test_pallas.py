@@ -48,8 +48,24 @@ def test_group_norm_act_grad(rng):
                                    atol=3e-5, rtol=1e-4)
 
 
+def test_attention_block_q_always_tiles():
+    """The query-block picker must either tile T exactly or report the
+    shape unsupported — a non-divisor block would silently drop tail rows
+    (the round-2 advisor finding)."""
+    from unet_tpu.ops.pallas import attention as pattn
+    for T in range(8, 2049, 8):
+        bq = pattn._pick_block_q(T)
+        if pattn.supports(T):
+            assert bq > 0 and T % bq == 0, (T, bq)
+        else:
+            assert bq == 0, (T, bq)
+    # T=576 (--attention_resolutions 24 at 192px) must tile at 192
+    assert pattn._pick_block_q(576) == 192
+
+
 @pytest.mark.parametrize("B,T,C,NH", [(2, 64, 64, 2), (2, 256, 192, 6),
-                                      (1, 1024, 192, 6)])
+                                      (1, 1024, 192, 6), (1, 576, 64, 2),
+                                      (1, 1024, 256, 8)])
 def test_fused_attention_parity(rng, B, T, C, NH):
     """Fused attention kernel (interpret mode) vs the XLA einsum path —
     the analog of the reference's dev/attention.{py,cu} golden pair

@@ -106,7 +106,7 @@ def test_parallel_sampler_matches_single_device(tiny_setup):
     params, _ = tiny_setup
     cfg = UnetConfig(model_channels=32, image_size=16,
                      attention_ds=(2, 4), num_head_channels=32,
-                     channel_mult=(1, 2), max_period=12)
+                     channel_mult=(1, 2), max_period=52)
     params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
     diffusion = GaussianDiffusion.create(
         named_beta_schedule("linear", cfg.max_period))

@@ -84,3 +84,21 @@ def test_ddpm_sample_shapes_and_finite():
     assert np.isfinite(np.asarray(imgs)).all()
     u8 = to_uint8(imgs)
     assert u8.dtype == np.uint8 and u8.shape == imgs.shape
+
+
+def test_invalid_linear_schedule_rejected():
+    """T <= 20 drives the scaled linear beta_end = 20/T past 1, which
+    used to NaN the sqrt tables silently (round-2 verdict weak #6)."""
+    import pytest
+
+    for T in (2, 12, 20):
+        with pytest.raises(ValueError, match="strictly in"):
+            GaussianDiffusion.create(named_beta_schedule("linear", T))
+    # boundary: T=21 is the smallest valid linear schedule
+    d = GaussianDiffusion.create(named_beta_schedule("linear", 21))
+    assert np.isfinite(
+        np.asarray(d.sqrt_one_minus_alphas_cumprod)).all()
+    # cosine clamps at max_beta and is valid at any T
+    d = GaussianDiffusion.create(named_beta_schedule("cosine", 12))
+    assert np.isfinite(
+        np.asarray(d.sqrt_one_minus_alphas_cumprod)).all()

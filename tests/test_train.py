@@ -218,3 +218,65 @@ def test_cross_framework_rng_trajectory(small_cfg, rng):
         jax_losses.append(float(loss))
 
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
+
+
+def test_training_trajectory_parity_100_steps(rng):
+    """Long-horizon trajectory parity (round-2 VERDICT item 2): 100 real
+    AdamW steps vs torch on a reduced config, comparing the running-mean
+    loss (the reference's own reporting statistic, LossCounter
+    train_unet.cu:4917-4932) every 10 steps plus the final params.
+    Per-step fp32 drift compounds over 100 steps, so per-step rtol is
+    meaningless here; the running mean is the signal a user watches."""
+    from unet_tpu.config import UnetConfig
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2, 4),
+                     num_head_channels=32, channel_mult=(1, 2))
+    params, flat = make_params_and_flat(cfg)
+    tmodel = TorchUnet(cfg, flat)
+
+    steps, B, S, T = 100, 4, cfg.image_size, cfg.max_period
+    diffusion = GaussianDiffusion.create(named_beta_schedule("linear", T))
+    sqrt_ac = np.asarray(diffusion.sqrt_alphas_cumprod)
+    sqrt_1mac = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
+
+    batches = rng.standard_normal((steps, B, 3, S, S),
+                                  dtype=np.float32) * 0.5
+    noises = rng.standard_normal((steps, B, 3, S, S), dtype=np.float32)
+    tsteps = rng.integers(0, T, size=(steps, B))
+
+    opt = torch.optim.AdamW(tmodel.params, lr=1e-3, weight_decay=0.01)
+    torch_losses = []
+    for i in range(steps):
+        opt.zero_grad()
+        x0 = torch.tensor(batches[i])
+        noise = torch.tensor(noises[i])
+        a = torch.tensor(sqrt_ac[tsteps[i]])[:, None, None, None]
+        b = torch.tensor(sqrt_1mac[tsteps[i]])[:, None, None, None]
+        out = tmodel.forward(a * x0 + b * noise,
+                             torch.tensor(tsteps[i]).float())
+        loss = torch.mean((out - noise) ** 2)
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    tc = TrainConfig(batch_size=B, lr=1e-3, weight_decay=0.01)
+    _, step_with = trainer.make_train_step(cfg, tc, diffusion,
+                                           donate=False)
+    state = trainer.init_state(params)
+    jax_losses = []
+    for i in range(steps):
+        state, loss = step_with(
+            state, jnp.asarray(batches[i].transpose(0, 2, 3, 1)),
+            jnp.asarray(tsteps[i]),
+            jnp.asarray(noises[i].transpose(0, 2, 3, 1)))
+        jax_losses.append(float(loss))
+
+    jm = np.cumsum(jax_losses) / np.arange(1, steps + 1)
+    tm = np.cumsum(torch_losses) / np.arange(1, steps + 1)
+    np.testing.assert_allclose(jm[9::10], tm[9::10], rtol=1e-2)
+    assert jm[-1] < jm[9], "running-mean loss must decrease over the run"
+    # final params stay within the reference's end-to-end tier after 100
+    # compounding AdamW steps
+    final_jax = ckpt_io.flatten_params(state.params, cfg)
+    final_torch = np.concatenate(
+        [p.detach().numpy().ravel() for p in tmodel.params])
+    np.testing.assert_allclose(final_jax, final_torch, atol=2e-2)

@@ -90,6 +90,18 @@ def defaults() -> dict:
         log_norms=False,           # grad/param norms + peak memory
         #                            (reference train_unet.py:1022-1036)
         num_devices=0,             # 0 = all visible devices (data parallel)
+        fsdp=False,                # shard params + AdamW moments over the
+        #                            data axis (ZeRO-3; parallel/mesh.py)
+        tensor_parallel=1,         # Megatron-style TP degree (model axis)
+        spatial_parallel=1,        # activation-height sharding degree
+        #                            (model axis; GSPMD conv halo exchange)
+        num_shards=1,              # dataloader shards (one per host in a
+        shard_index=0,             # multi-host launch; this process reads
+        #                            shard shard_index of num_shards)
+        native_loader=True,        # C++ prefetch loader for plain .bin
+        #                            streams (utils/native.NativeLoader);
+        #                            shuffle/flip/shard paths use the
+        #                            Python loader regardless
         output_dir="models",
         csv_log_dir="",
     )
@@ -131,6 +143,8 @@ def _reject_bad_combos(args) -> None:
             raise SystemExit(f"train: {msg}")
     bad(args.host_rng and args.log_norms,
         "--host_rng and --log_norms cannot be combined")
+    bad(args.log_norms and args.class_cond,
+        "--log_norms and --class_cond cannot be combined")
     for flag in ("host_rng", "log_norms", "class_cond"):
         bad(args.num_devices > 1 and getattr(args, flag),
             f"--{flag} is only wired for single-device runs "
@@ -143,10 +157,31 @@ def _reject_bad_combos(args) -> None:
     bad(args.data_dir and args.shuffle,
         "--shuffle applies to .bin streams; use --randomize with "
         "--data_dir")
+    bad(args.tensor_parallel > 1 and args.spatial_parallel > 1,
+        "--tensor_parallel and --spatial_parallel both use the model "
+        "mesh axis")
+    bad(args.tensor_parallel > 1 and args.fsdp,
+        "--tensor_parallel cannot be combined with --fsdp")
+    model_axis = max(args.tensor_parallel, args.spatial_parallel)
+    if args.fsdp or model_axis > 1:
+        n = args.num_devices or len(jax.devices())
+        bad(n % model_axis != 0,
+            f"model axis {model_axis} does not divide {n} devices")
+        bad(n // model_axis < 1, "not enough devices for the model axis")
+        bad(args.fsdp and n // model_axis < 2,
+            "--fsdp needs >= 2 devices on the data axis")
+        for flag in ("host_rng", "log_norms", "class_cond"):
+            bad(getattr(args, flag),
+                f"--{flag} is only wired for single-device runs")
+    bad(args.num_shards > 1 and args.data_dir,
+        "--num_shards applies to .bin streams")
+    bad(args.shard_index >= args.num_shards,
+        "--shard_index must be < --num_shards")
 
 
 def main(argv=None) -> None:
     args = create_argparser().parse_args(argv)
+    _reject_bad_combos(args)  # before any work (load/init) happens
     if (not args.init_model_only and not args.data_dir
             and not os.path.exists(args.data_file)):
         raise SystemExit(f"train: data file not found: {args.data_file} "
@@ -194,7 +229,6 @@ def main(argv=None) -> None:
     # --- data + step function ---
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
-    _reject_bad_combos(args)
     n_dev = args.num_devices or len(jax.devices())
     if args.host_rng or args.log_norms or args.class_cond:
         n_dev = 1
@@ -204,12 +238,18 @@ def main(argv=None) -> None:
         host_rng = TorchRng(seed)
         if host_rng_state is not None:
             host_rng.set_state(host_rng_state)
+    model_axis = max(args.tensor_parallel, args.spatial_parallel)
     if n_dev > 1:
-        m = pmesh.make_mesh(data=n_dev,
+        use_tp = args.tensor_parallel > 1
+        use_sp = args.spatial_parallel > 1
+        m = pmesh.make_mesh(data=n_dev // model_axis, model=model_axis,
                             devices=jax.devices()[:n_dev])
-        step_fn = pmesh.make_parallel_train_step(cfg, tc, m, diffusion)
-        state = pmesh.shard_state(state, m)
-        global_batch = tc.batch_size * n_dev
+        step_fn = pmesh.make_parallel_train_step(
+            cfg, tc, m, diffusion, spatial=use_sp, fsdp=args.fsdp,
+            tp=use_tp,
+            example_params=params if (args.fsdp or use_tp) else None)
+        state = pmesh.shard_state(state, m, fsdp=args.fsdp, tp=use_tp)
+        global_batch = tc.batch_size * (n_dev // model_axis)
     else:
         if args.log_norms:
             # AOT-compile so the peak-memory metric can fall back to the
@@ -236,12 +276,23 @@ def main(argv=None) -> None:
         loader = dataset.image_dir_loader(
             args.data_dir, global_batch, size=args.image_size,
             class_cond=args.class_cond, randomize=args.randomize,
-            seed=seed)
+            seed=seed, skip_batches=start_step)
+    elif (args.native_loader and not tc.shuffle
+          and not (args.flip or args.randomize) and args.num_shards == 1):
+        # plain sequential .bin stream: the C++ prefetch loader reads and
+        # transposes the next batch on a background thread while the TPU
+        # runs the current step (reference loader contract
+        # train_unet.cu:3032-3099, minus the blocking reads)
+        from unet_tpu.utils.native import NativeLoader
+        loader = iter(NativeLoader(args.data_file, global_batch,
+                                   skip_batches=start_step))
     else:
         loader = dataset.data_loader(args.data_file, global_batch,
                                      shuffle=tc.shuffle,
                                      flip=args.flip or args.randomize,
-                                     seed=seed, skip_batches=start_step)
+                                     seed=seed, skip_batches=start_step,
+                                     num_shards=args.num_shards,
+                                     shard_index=args.shard_index)
 
     # --- loop (reference train_unet.cu:5019-5058) ---
     text_log = TextLog(args.log_file)

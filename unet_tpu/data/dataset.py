@@ -100,12 +100,18 @@ class BinDataset:
 
 def image_dir_loader(data_dir: str, batch_size: int, *, size: int = 64,
                      class_cond: bool = False, randomize: bool = False,
-                     seed: int = 0) -> Iterator:
+                     seed: int = 0, skip_batches: int = 0) -> Iterator:
     """Infinite NHWC batch iterator directly over a directory of images —
     the torch trainer's data surface (reference train_unet.py:490-536):
     optional p=0.5 horizontal flip and shuffling when `randomize`, and
     class labels derived from the filename prefix before '_' when
     `class_cond` (yielding (batch, labels) tuples).
+
+    skip_batches=N fast-forwards past the first N batches without decoding
+    any image: cursor arithmetic plus replaying the rng draws (one
+    permutation per epoch, one flip draw per image) so a resumed run sees
+    the exact stream the original would have from step N on — the same
+    trajectory-faithful-resume contract as data_loader.
     """
     from PIL import Image
 
@@ -133,15 +139,24 @@ def image_dir_loader(data_dir: str, batch_size: int, *, size: int = 64,
         return arr  # HWC
 
     n = len(files)
+    per_epoch = max(len(range(0, n - batch_size + 1, batch_size)), 1)
+    if randomize:  # replay rng draws of the skipped prefix
+        for _ in range(skip_batches // per_epoch):
+            rng.permutation(n)
+            rng.random(per_epoch * batch_size)
+    start = skip_batches % per_epoch
     while True:
         order = rng.permutation(n) if randomize else np.arange(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        if randomize and start:
+            rng.random(start * batch_size)
+        for i in range(start * batch_size, n - batch_size + 1, batch_size):
             idx = order[i:i + batch_size]
             batch = np.stack([load(j) for j in idx])
             if class_cond:
                 yield batch, labels[idx]
             else:
                 yield batch
+        start = 0
 
 
 def data_loader(path: str, batch_size: int, *, shuffle: bool = False,

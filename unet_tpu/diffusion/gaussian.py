@@ -60,6 +60,17 @@ class GaussianDiffusion:
         # fp32 cumprod, matching the reference's "float32 everywhere"
         # choice (train_unet.py:883).
         betas32 = np.asarray(betas, dtype=np.float32)
+        if betas32.size == 0 or np.any(betas32 <= 0) or np.any(betas32 >= 1):
+            # The scaled linear schedule's beta_end is 20/T, so T <= 20
+            # exceeds beta=1 and sqrt(1 - alphas_cumprod) silently goes
+            # NaN.  The reference's cosine path clamps
+            # (train_unet.py:829-855); the linear path has no valid
+            # reading, so refuse it.
+            raise ValueError(
+                "beta schedule must lie strictly in (0, 1); got range "
+                f"[{betas32.min():.4g}, {betas32.max():.4g}] over "
+                f"{betas32.size} steps (linear schedule needs "
+                "num_timesteps >= 21)")
         alphas_cumprod = np.cumprod(1.0 - betas32, axis=0)
         return GaussianDiffusion(
             betas=jnp.asarray(betas32),

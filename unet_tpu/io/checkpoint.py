@@ -310,7 +310,11 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
                 num_classes)
         # Extension fields are trusted ONLY behind the marker: the
         # reference saver leaves spare slots as stack garbage
-        # (train_unet.cu:4764-4774).
+        # (train_unet.cu:4764-4774).  FORMAT BREAK (round 2): files this
+        # framework wrote before EXT_MAGIC existed carried step/seed in
+        # header[10]/[11] with no marker; they now load as plain
+        # reference checkpoints (params + moments, step=0, fresh RNG).
+        # No such checkpoints ship in this repo; re-save to upgrade.
         step = rng_seed = loader_pos = host_rng_state = None
         if is_ext:
             step = int(header[10])

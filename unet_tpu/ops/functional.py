@@ -225,8 +225,9 @@ _GN_MODE = os.environ.get(
 
 
 def set_gn_mode(name: str) -> None:
-    """Select the GroupNorm implementation BEFORE tracing: "fused"
-    (default), "autodiff", or "pallas".  Also via UNET_TPU_GN."""
+    """Select the GroupNorm implementation BEFORE tracing: "autodiff"
+    (the default — see the mode comment above), "fused", or "pallas".
+    Also via UNET_TPU_GN."""
     global _GN_MODE
     assert name in ("fused", "autodiff", "pallas"), name
     _GN_MODE = name
@@ -335,10 +336,13 @@ def qkv_attention(qkv, num_heads):
     use_kernel = (_ATTN_MODE == "fused"
                   or (_ATTN_MODE == "auto" and qkv.shape[1] >= 512))
     if (use_kernel and qkv.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
-            and qkv.shape[1] % 8 == 0):
-        from unet_tpu.ops.pallas.attention import qkv_attention_fused
-        return qkv_attention_fused(qkv, num_heads)
+            and jax.default_backend() == "tpu"):
+        from unet_tpu.ops.pallas import attention as pattn
+        # supports() also rejects T the query-block grid cannot tile
+        # exactly (e.g. T=576): the kernel has no remainder handling and
+        # would silently drop the tail rows.
+        if pattn.supports(qkv.shape[1]):
+            return pattn.qkv_attention_fused(qkv, num_heads)
     B, T, C3 = qkv.shape
     C = C3 // 3
     NH = num_heads

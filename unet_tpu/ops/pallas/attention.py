@@ -58,52 +58,78 @@ def _fwd_kernel(qkv_q_ref, qkv_kv_ref, out_ref, *, num_heads: int,
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, num_heads: int,
-                scale: float, block_q: int):
-    _, T, C3 = qkv_ref.shape
+def _bwd_kernel(qkv_q_ref, qkv_kv_ref, dout_ref, dq_ref, dkv_ref,
+                dkv_acc_ref, *, num_heads: int, scale: float, nblk: int):
+    """Grid (B, T//TQ): one query block per step.  dq is written to the
+    block's own rows; dk/dv accumulate in an fp32 VMEM scratch that
+    persists across the (sequential) query-block axis and is flushed to
+    dkv_ref on the last step.  This keeps the score temporaries to ONE
+    (TQ, T) set regardless of T and num_heads — the previous
+    whole-batch-per-step version ran out of scoped VMEM at the reference
+    core shape (B=4, T=1024, C=256, HS=32, dev/attention.cu:370-375)."""
+    i = pl.program_id(1)
+    _, TQ, C3 = qkv_q_ref.shape
     C = C3 // 3
     HS = C // num_heads
-    nblk = T // block_q
     f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _init():
+        dkv_acc_ref[...] = jnp.zeros_like(dkv_acc_ref)
+
     for h in range(num_heads):
         o = h * HS
-        k = qkv_ref[0, :, C + o:C + o + HS]                # (T, HS)
-        v = qkv_ref[0, :, 2 * C + o:2 * C + o + HS]        # (T, HS)
-        dk = jnp.zeros((T, HS), f32)
-        dv = jnp.zeros((T, HS), f32)
-        for i in range(nblk):
-            r = slice(i * block_q, (i + 1) * block_q)
-            q = qkv_ref[0, r, o:o + HS]
-            do = dout_ref[0, r, o:o + HS].astype(f32)
-            qs = (q.astype(f32) * scale).astype(q.dtype)
-            s = jax.lax.dot_general(
-                qs, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                # (TQ, T)
-            p = jax.nn.softmax(s, axis=-1)                 # f32
-            dob = do.astype(v.dtype)
-            dp = jax.lax.dot_general(
-                dob, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                # (TQ, T)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dsb = ds.astype(q.dtype)
-            # dq = (ds @ k) * scale
-            dqkv_ref[0, r, o:o + HS] = (jnp.dot(
-                dsb, k, preferred_element_type=f32)
-                * scale).astype(dqkv_ref.dtype)
-            # dk += ds^T @ qs ; dv += p^T @ dout
-            dk = dk + jax.lax.dot_general(
-                dsb, qs, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            dv = dv + jax.lax.dot_general(
-                p.astype(v.dtype), dob.astype(v.dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-        dqkv_ref[0, :, C + o:C + o + HS] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * C + o:2 * C + o + HS] = dv.astype(dqkv_ref.dtype)
+        k = qkv_kv_ref[0, :, C + o:C + o + HS]             # (T, HS)
+        v = qkv_kv_ref[0, :, 2 * C + o:2 * C + o + HS]     # (T, HS)
+        q = qkv_q_ref[0, :, o:o + HS]                      # (TQ, HS)
+        do = dout_ref[0, :, o:o + HS].astype(f32)
+        qs = (q.astype(f32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                    # (TQ, T)
+        p = jax.nn.softmax(s, axis=-1)                     # f32
+        dob = do.astype(v.dtype)
+        dp = jax.lax.dot_general(
+            dob, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                    # (TQ, T)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        # dq = (ds @ k) * scale — this query block's rows only
+        dq_ref[0, :, o:o + HS] = (jnp.dot(
+            dsb, k, preferred_element_type=f32)
+            * scale).astype(dq_ref.dtype)
+        # dk += ds^T @ qs ; dv += p^T @ dout  (fp32 scratch accumulation)
+        dkv_acc_ref[:, o:o + HS] += jax.lax.dot_general(
+            dsb, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dkv_acc_ref[:, C + o:C + o + HS] += jax.lax.dot_general(
+            p.astype(v.dtype), dob.astype(v.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    @pl.when(i == nblk - 1)
+    def _flush():
+        dkv_ref[0] = dkv_acc_ref[...].astype(dkv_ref.dtype)
 
 
 def _pick_block_q(T: int) -> int:
-    return min(T, 256)
+    """Largest query block <= 256 that tiles T exactly (0 if none).
+
+    The grids below launch T // block_q query blocks with no remainder
+    handling, so a non-divisor block would silently drop the tail rows —
+    callers must route T with _pick_block_q(T) == 0 to the XLA path
+    (see supports())."""
+    if T <= 256:
+        return T
+    for d in range(256, 7, -8):
+        if T % d == 0:
+            return d
+    return 0
+
+
+def supports(T: int) -> bool:
+    """True iff the fused kernel can handle sequence length T exactly."""
+    return T % 8 == 0 and _pick_block_q(T) > 0
 
 
 def _fwd_call(qkv, num_heads):
@@ -112,6 +138,8 @@ def _fwd_call(qkv, num_heads):
     HS = C // num_heads
     scale = 1.0 / math.sqrt(HS)
     TQ = _pick_block_q(T)
+    assert TQ > 0 and T % TQ == 0, \
+        f"fused attention needs a divisor block for T={T} (see supports())"
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                scale=scale)
     return pl.pallas_call(
@@ -138,22 +166,37 @@ def _bwd_call(qkv, dout, num_heads):
     HS = C // num_heads
     scale = 1.0 / math.sqrt(HS)
     TQ = _pick_block_q(T)
+    assert TQ > 0 and T % TQ == 0, \
+        f"fused attention needs a divisor block for T={T} (see supports())"
+    nblk = T // TQ
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
-                               scale=scale, block_q=TQ)
-    return pl.pallas_call(
+                               scale=scale, nblk=nblk)
+    dq, dkv = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nblk),
         in_specs=[
-            pl.BlockSpec((1, T, C3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, TQ, C3), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+            # full key range, constant across the query-block axis
+            pl.BlockSpec((1, T, C3), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, C3), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, C3), qkv.dtype),
+        out_specs=[
+            pl.BlockSpec((1, TQ, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 2 * C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, 2 * C), qkv.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((T, 2 * C), jnp.float32)],
         interpret=_interpret(),
-    )(qkv, dout)
+    )(qkv, qkv, dout)
+    return jnp.concatenate([dq, dkv], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -66,7 +66,8 @@ def load_library() -> ctypes.CDLL:
     lib.rng_get_state.argtypes = [ctypes.c_void_p, up]
     lib.rng_set_state.argtypes = [ctypes.c_void_p, up]
     lib.loader_open.restype = ctypes.c_void_p
-    lib.loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_int64]
     lib.loader_close.argtypes = [ctypes.c_void_p]
     lib.loader_meta.argtypes = [
         ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64,
@@ -137,11 +138,19 @@ class TorchRng:
 
 
 class NativeLoader:
-    """Prefetching NHWC batch reader over a .bin dataset."""
+    """Prefetching NHWC batch reader over a .bin dataset.
 
-    def __init__(self, path: str, batch_size: int):
+    The background thread reads and CHW->HWC-transposes the NEXT batch
+    while the TPU runs the current step, so the host loop never blocks on
+    disk (the reference's loader reads synchronously every step,
+    train_unet.cu:3085-3096).  skip_batches resumes mid-stream with the
+    same cursor arithmetic as data_loader (trajectory-faithful resume).
+    """
+
+    def __init__(self, path: str, batch_size: int, skip_batches: int = 0):
         self._lib = load_library()
-        self._h = self._lib.loader_open(path.encode(), batch_size)
+        self._h = self._lib.loader_open(path.encode(), batch_size,
+                                        skip_batches)
         if not self._h:
             raise IOError(f"cannot open dataset {path}")
         meta = np.zeros(4, np.int64)
