@@ -1,22 +1,42 @@
 """Per-fusion conv roofline audit of the train step on the real TPU.
 
 For every convolution fusion in the compiled multi-step program this
-reports: achieved time/occurrence, analytic FLOPs, an applicable ceiling
-(MXU lane-filling bound or HBM bandwidth), and % of that bound — the
-committed evidence the round-2 verdict asked for ("per-fusion table:
-FLOPs, bytes, achieved TF/s, applicable bound, % of bound").
+reports: time per step, analytic FLOPs (parsed from the fused
+convolution's dims), achieved TF/s, accessed bytes (from xprof's
+operational intensity), the applicable ceiling (MXU lane/contraction
+fill or HBM bandwidth), and % of that bound — the committed evidence the
+round-2 verdict asked for.
 
 Method:
-  1. jit + trace one K-step multi-step call (jax.profiler xplane).
-  2. hlo_stats (xprof) -> per-op self time + occurrences.
-  3. The compiled HLO text -> conv dims per fusion (M, N, K of the
-     implicit GEMM; operand/output bytes of the whole fusion).
-  4. Ceilings: MXU bf16 peak scaled by output-lane fill (N_pad/128) and
-     input-sublane fill; HBM bytes / 819 GB/s.  bound_time =
-     max(compute_time, bw_time); pct = bound_time / measured_time.
+  1. jit one K-step multi-step call, keep the compiled executable.
+  2. trace one call (jax.profiler xplane) -> xprof hlo_stats: per-op
+     self time, occurrences, model flop rate, operational intensity.
+  3. The executable's HLO text -> the convolution instruction inside
+     each fusion computation: output shape, window, dim_labels, operand
+     shapes -> analytic FLOPs and MXU fill factors.
+  4. Ceilings (v5e): bf16 MXU peak 197 TF/s scaled by per-conv fill
+     factors, and HBM 819 GB/s.  bound_time = max(flops / ceiling,
+     bytes / BW); pct = bound_time / measured_time.
+
+     Fill model (validated against the measured rates, docs/PERF.md):
+     * forward conv (pad < window-1): output-lane fill o/roundup(o,128)
+       x INPUT-lane fill i/roundup(i,128).  The NHWC activation layout
+       puts C_in on the 128-lane minor dim, so each kernel tap feeds
+       the MXU contraction at C_in/128 occupancy — a C=64 conv has a
+       ~49 TF/s ceiling (both sides half-filled), which the measured
+       45-47 TF/s rates confirm; C_in=128 convs onto O=64 reach 93-94
+       of their 98.5 ceiling under the same model.
+     * dgrad (pad == window-1, the transposed conv): contraction fill
+       K/roundup(K,128) — XLA packs the reversed-kernel contraction
+       densely (measured: K=576 dgrads sustain 116-160 TF/s, above any
+       per-tap model).
+     * wgrad (image-sized window): absolute peak, fill 1.0 — Mosaic
+       flattens (kh, kw, ci) into the non-contracted dim, so no lane
+       argument applies; the ceiling is optimistic by construction, so
+       read the absolute TF/s for these rows.
 
 Usage: python scripts/roofline.py [--image_size 64] [--dtype bfloat16]
-        [--csv docs/roofline_64.csv]
+        [--csv docs/roofline_64.csv] [--reuse]
 """
 
 from __future__ import annotations
@@ -24,6 +44,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -32,13 +53,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e chip numbers (public: jax-ml.github.io/scaling-book / cloud docs)
+# v5e chip numbers (public: jax-ml.github.io/scaling-book, cloud TPU docs)
 PEAK_BF16_TFS = 197.0
-PEAK_F32_TFS = 49.0          # no native f32 MXU: bf16x3/x6 passes
 HBM_GBS = 819.0
 
 
-def capture_trace(image_size: int, dtype: str, K: int, trace_dir: str):
+def capture(image_size: int, dtype: str, K: int, trace_dir: str):
     import jax
     import jax.numpy as jnp
     from unet_tpu.config import TrainConfig, UnetConfig
@@ -60,23 +80,23 @@ def capture_trace(image_size: int, dtype: str, K: int, trace_dir: str):
     state = trainer.init_state(jax.tree.map(jnp.array, params))
     chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
         (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(K)])
-        for _ in range(2)]
-    state, losses = ms_fn(state, chunks[0])
+        for _ in range(3)]
+    compiled = ms_fn.lower(state, chunks[0]).compile()
+    hlo_text = (compiled._executable.xla_executable
+                .hlo_modules()[0].to_string())
+    state, losses = compiled(state, chunks[0])     # warmup
     _drain(losses)
-    # compiled HLO text for shape extraction
-    lowered = trainer.make_multi_step(cfg, tc, diffusion)
-    hlo_text = jax.jit(lambda s, c: ms_fn(s, c)).lower(
-        state, chunks[1]).compile().as_text() if False else None
+    state, losses = compiled(state, chunks[1])
+    _drain(losses)
     import jax.profiler
     jax.profiler.start_trace(trace_dir)
-    state, losses = ms_fn(state, chunks[1])
+    state, losses = compiled(state, chunks[2])
     _drain(losses)
     jax.profiler.stop_trace()
-    return cfg
+    return hlo_text
 
 
 def hlo_stats_rows(trace_dir: str):
-    """Parse the xplane into hlo_stats rows (list of dicts)."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
                           "python")
     from xprof.convert import raw_to_tool_data as rtd
@@ -87,7 +107,180 @@ def hlo_stats_rows(trace_dir: str):
     if isinstance(data, bytes):
         data = data.decode()
     obj = json.loads(data)
-    return obj
+    cols = [c["id"] for c in obj["cols"]]
+    out = []
+    for r in obj["rows"]:
+        out.append({c: (cell or {}).get("v")
+                    for c, cell in zip(cols, r["c"])})
+    return out
+
+
+_SHAPE_RE = re.compile(r"(?:bf16|f32|f16|s32|u32|pred)\[([\d,]*)\]")
+
+
+def _dims(shape_str):
+    m = _SHAPE_RE.search(shape_str)
+    if not m or not m.group(1):
+        return []
+    return [int(d) for d in m.group(1).split(",")]
+
+
+def parse_conv_map(hlo_text: str):
+    """fusion/instruction name -> conv info dict.
+
+    Walks every computation; for each `convolution(` instruction,
+    extracts output dims, window sizes, dim_labels and the rhs (kernel)
+    operand dims, then attributes it to the top-level instruction that
+    calls the computation (or to itself if top-level)."""
+    # computation name -> conv info
+    comp_convs = {}
+    cur_comp = None
+    defs = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*(?:ROOT\s+)?%([\w.\-]+)\s*=\s*(.*)", line)
+        cm = re.match(r"\s*%?([\w.\-]+)\s*\(.*\)\s*->\s*.*{\s*$", line)
+        if cm and " = " not in line:
+            cur_comp = cm.group(1)
+            defs = {}
+            continue
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2)
+        defs[name] = rest
+        if " convolution(" in rest or rest.startswith("convolution("):
+            out_dims = _dims(rest)
+            wm = re.search(r"window={size=([\dx]+)", rest)
+            window = ([int(x) for x in wm.group(1).split("x")]
+                      if wm else [1, 1])
+            pm = re.search(r"pad=([\d_x]+)", rest)
+            pad_max = (max(int(x) for x in
+                           re.split(r"[_x]", pm.group(1)))
+                       if pm else 0)
+            dl = re.search(r"dim_labels=(\S+?)(,|$| )", rest)
+            labels = dl.group(1) if dl else ""
+            ops = re.search(r"convolution\(([^)]*)\)", rest)
+            rhs_dims = None
+            lhs_dims = None
+            if ops:
+                names = [o.strip().lstrip("%") for o in
+                         ops.group(1).split(",")]
+                if len(names) == 2:
+                    lhs_dims = _dims(defs.get(names[0], ""))
+                    rhs_dims = _dims(defs.get(names[1], ""))
+            comp_convs.setdefault(cur_comp, []).append(dict(
+                out=out_dims, window=window, pad_max=pad_max,
+                labels=labels, rhs=rhs_dims, lhs=lhs_dims))
+    # top-level instruction -> computation it calls
+    inst_conv = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*(?:ROOT\s+)?%([\w.\-]+)\s*=\s*(.*)", line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2)
+        cm = re.search(r"calls=%([\w.\-]+)", rest)
+        if cm and cm.group(1) in comp_convs:
+            inst_conv[name] = comp_convs[cm.group(1)]
+        elif " convolution(" in rest:
+            # un-fused top-level conv: parse in place (rare)
+            out_dims = _dims(rest)
+            wm = re.search(r"window={size=([\dx]+)", rest)
+            window = ([int(x) for x in wm.group(1).split("x")]
+                      if wm else [1, 1])
+            inst_conv[name] = [dict(out=out_dims, window=window,
+                                    labels="", rhs=None, lhs=None)]
+    return inst_conv
+
+
+def conv_cost(info):
+    """(flops, o_size, k_size, i_size, kind) for one convolution.
+
+    kind: "fwd" (pad < window-1), "dgrad" (pad == window-1, the
+    transposed conv reading a reversed kernel), or "wgrad" (image-sized
+    window: the contraction runs over the batch/spatial dims)."""
+    out_elems = int(np.prod(info["out"])) if info["out"] else 0
+    labels = info["labels"]
+    # rhs labels: the part between '_' and '->', e.g. 01io / i01o
+    rhs_lab = labels.split("_")[1].split("->")[0] if "_" in labels else ""
+    i_size = None
+    o_size = None
+    if info["rhs"] and rhs_lab and len(rhs_lab) == len(info["rhs"]):
+        i_size = info["rhs"][rhs_lab.index("i")]
+        o_size = info["rhs"][rhs_lab.index("o")]
+    win = info["window"]
+    window = int(np.prod(win))
+    if i_size is None:
+        return None
+    if max(win) >= 8:
+        kind = "wgrad"
+    elif max(win) > 1 and info.get("pad_max", 0) >= max(win) - 1:
+        kind = "dgrad"
+    else:
+        kind = "fwd"
+    k_size = i_size * window
+    flops = 2.0 * out_elems * k_size
+    return flops, o_size, k_size, i_size, kind
+
+
+def roundup(x, m):
+    return int(math.ceil(x / m) * m)
+
+
+def analyze(rows, conv_map, K, peak_tfs=PEAK_BF16_TFS, hbm=HBM_GBS):
+    table = []
+    for r in rows:
+        cat = r.get("category") or ""
+        if "convolution" not in cat:
+            continue
+        name = r["hlo_op_name"]
+        t_us = float(r["avg_self_time"])
+        occ = float(r["occurrences"]) / K     # per step
+        rate_tfs = float(r["model_flop_rate"]) / 1e3
+        oi = float(r["operational_intensity"]) or 1.0
+        flops_meas = rate_tfs * 1e12 * t_us * 1e-6
+        bytes_acc = flops_meas / oi if oi > 0 else 0.0
+        convs = conv_map.get(name, [])
+        costs = [c for c in (conv_cost(ci) for ci in convs)
+                 if c is not None]
+        flops_an = sum(c[0] for c in costs)
+        # ceiling: flop-weighted mean of per-conv fill factors (see the
+        # module docstring for the per-kind fill model)
+        if costs:
+            ceil_num = 0.0
+            for f, o, k, i, kind in costs:
+                if kind == "fwd":
+                    fill = ((o / roundup(o, 128))
+                            * (i / roundup(i, 128)))
+                elif kind == "dgrad":
+                    fill = ((o / roundup(o, 128))
+                            * (k / roundup(k, 128)))
+                else:                       # wgrad: optimistic peak
+                    fill = 1.0
+                ceil_num += f * peak_tfs * fill
+            ceiling_tfs = ceil_num / max(flops_an, 1.0)
+        else:
+            ceiling_tfs = peak_tfs
+        flops = flops_an or flops_meas
+        t_compute_us = flops / (ceiling_tfs * 1e12) * 1e6
+        t_bw_us = bytes_acc / (hbm * 1e9) * 1e6
+        bound = "MXU" if t_compute_us >= t_bw_us else "HBM"
+        t_bound_us = max(t_compute_us, t_bw_us)
+        table.append(dict(
+            name=name, occ_per_step=occ, us_per_occ=t_us,
+            us_per_step=t_us * occ,
+            tfs=flops / (t_us * 1e-6) / 1e12,
+            gb_s=bytes_acc / (t_us * 1e-6) / 1e9,
+            flops=flops, bytes=bytes_acc,
+            shapes=";".join(
+                "x".join(map(str, ci["out"])) + f"|w{ci['window']}"
+                + (f"|K{c[2]}|O{c[1]}|{c[4]}" if c else "")
+                for ci, c in zip(convs, costs + [None] * max(
+                    0, len(convs) - len(costs)))),
+            ceiling_tfs=ceiling_tfs, bound=bound,
+            bound_us=t_bound_us,
+            pct_of_bound=100.0 * t_bound_us / t_us,
+        ))
+    table.sort(key=lambda d: -d["us_per_step"])
+    return table
 
 
 def main() -> None:
@@ -95,14 +288,45 @@ def main() -> None:
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--K", type=int, default=10)
-    p.add_argument("--trace_dir", default="/tmp/roofline_trace")
+    p.add_argument("--trace_dir", default="")
     p.add_argument("--csv", default="")
-    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--top", type=int, default=25)
+    p.add_argument("--reuse", action="store_true",
+                   help="re-analyze an existing trace + saved HLO "
+                        "instead of re-running on the TPU")
     args = p.parse_args()
+    trace_dir = args.trace_dir or f"/tmp/roofline_{args.image_size}"
 
-    capture_trace(args.image_size, args.dtype, args.K, args.trace_dir)
-    rows = hlo_stats_rows(args.trace_dir)
-    print(json.dumps(rows)[:2000])
+    hlo_path = os.path.join("/tmp", f"hlo_{args.image_size}.txt")
+    if args.reuse:
+        with open(hlo_path) as f:
+            hlo_text = f.read()
+    else:
+        hlo_text = capture(args.image_size, args.dtype, args.K, trace_dir)
+        with open(hlo_path, "w") as f:
+            f.write(hlo_text)
+    rows = hlo_stats_rows(trace_dir)
+    conv_map = parse_conv_map(hlo_text)
+    table = analyze(rows, conv_map, args.K)
+
+    tot = sum(d["us_per_step"] for d in table)
+    print(f"# conv fusions: {len(table)}, total "
+          f"{tot / 1e3:.2f} ms/step")
+    hdr = (f"{'fusion':38s} {'occ':>4s} {'us/st':>7s} {'TF/s':>6s} "
+           f"{'GB/s':>6s} {'ceil':>6s} {'bound':>5s} {'%bnd':>5s}  shapes")
+    print(hdr)
+    for d in table[:args.top]:
+        print(f"{d['name'][:38]:38s} {d['occ_per_step']:4.0f} "
+              f"{d['us_per_step']:7.1f} {d['tfs']:6.1f} {d['gb_s']:6.0f} "
+              f"{d['ceiling_tfs']:6.1f} {d['bound']:>5s} "
+              f"{d['pct_of_bound']:5.1f}  {d['shapes'][:70]}")
+    if args.csv:
+        import csv as _csv
+        with open(args.csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(table[0].keys()))
+            w.writeheader()
+            w.writerows(table)
+        print(f"wrote {args.csv}")
 
 
 if __name__ == "__main__":

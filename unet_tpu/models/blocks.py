@@ -68,37 +68,67 @@ def resblock_init(key, cin, cout, emb_dim, *, scale_shift_norm=False):
 
 
 def resblock_apply(p, x, emb, *, num_groups=32, eps=1e-5,
-                   scale_shift_norm=False, up=False, down=False):
+                   scale_shift_norm=False, up=False, down=False,
+                   s2d=False):
     """GN1 -> SiLU -> [resample] -> Conv3x3 -> +emb-proj -> GN2 -> SiLU ->
     Conv3x3 -> + skip (reference train_unet.py:120-157).
 
-    x: (B,H,W,Cin) NHWC; emb: (B, emb_dim).
+    x: (B,H,W,Cin) NHWC; emb: (B, emb_dim).  With s2d=True, x is a
+    space-to-depth (B, H/2, W/2, 4Cin) tensor and every op runs in patch
+    space with pixel-space semantics (unet_tpu/ops/s2d.py).
     """
-    h = F.group_norm_silu(x, p["gn1"]["scale"], p["gn1"]["bias"],
-                          num_groups=num_groups, eps=eps)
+    if s2d:
+        from unet_tpu.ops import s2d as S
+        assert not up and not down
+
+        def gn(h, sc, bi, act="silu"):
+            return S.group_norm_silu_s2d(h, sc, bi, num_groups=num_groups,
+                                         eps=eps, act=act)
+
+        def conv3(h, c):
+            return S.conv2d_s2d(h, c["w"], c["b"],
+                                precision=F._mm_precision(h))
+
+        def conv_skip(h, c):
+            return S.conv1x1_s2d(h, c["w"], c["b"])
+
+        expand_c = S.tile_phases
+    else:
+        def gn(h, sc, bi, act="silu"):
+            return F.group_norm_silu(h, sc, bi, num_groups=num_groups,
+                                     eps=eps, act=act)
+
+        def conv3(h, c):
+            return F.conv2d(h, c["w"], c["b"])
+
+        conv_skip = conv3
+
+        def expand_c(v):
+            return v
+
+    h = gn(x, p["gn1"]["scale"], p["gn1"]["bias"])
     if up:
         h = F.upsample_nearest_2x(h)
         x = F.upsample_nearest_2x(x)
     elif down:
         h = F.avg_pool_2x(h)
         x = F.avg_pool_2x(x)
-    h = F.conv2d(h, p["conv1"]["w"], p["conv1"]["b"])
+    h = conv3(h, p["conv1"])
 
     e = F.linear(F.silu(emb), p["emb"]["w"], p["emb"]["b"])
     if scale_shift_norm:
         scale, shift = jnp.split(e, 2, axis=-1)
-        h = F.group_norm_silu(h, p["gn2"]["scale"], p["gn2"]["bias"],
-                              num_groups=num_groups, eps=eps, act="none")
-        h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        h = gn(h, p["gn2"]["scale"], p["gn2"]["bias"], act="none")
+        h = h * (1.0 + expand_c(scale)[:, None, None, :]) \
+            + expand_c(shift)[:, None, None, :]
         h = F.silu(h)
     else:
-        h = h + e[:, None, None, :].astype(h.dtype)
-        h = F.group_norm_silu(h, p["gn2"]["scale"], p["gn2"]["bias"],
-                              num_groups=num_groups, eps=eps)
-    h = F.conv2d(h, p["conv2"]["w"], p["conv2"]["b"])
+        h = h + expand_c(e)[:, None, None, :].astype(h.dtype)
+        h = gn(h, p["gn2"]["scale"], p["gn2"]["bias"])
+    h = conv3(h, p["conv2"])
 
     if "skip" in p:
-        x = F.conv2d(x, p["skip"]["w"], p["skip"]["b"])
+        x = conv_skip(x, p["skip"])
     return x + h
 
 

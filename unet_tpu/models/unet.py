@@ -14,6 +14,7 @@ The torch module graph it reproduces is reference train_unet.py:252-464
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 from unet_tpu.config import UnetConfig
 from unet_tpu.models import blocks
 from unet_tpu.ops import functional as F
+from unet_tpu.ops import s2d as S
 
 # Layer kinds appearing in a plan:
 #   ("conv_in", cin, cout)  ("res", cin, cout)  ("attn", c)
@@ -156,26 +158,78 @@ def init(key, cfg: UnetConfig, num_classes: Optional[int] = None):
 # Apply
 
 
-def _apply_layer_group(p, layers, h, emb, cfg: UnetConfig):
+def _apply_layer_group(p, layers, h, emb, cfg: UnetConfig,
+                       mode: str = "normal"):
+    """mode: "normal" (pixel space), "s2d" (whole group in patch space),
+    or "to_s2d" (pixel space, but a trailing "up" layer emits s2d)."""
+    in_s2d = mode == "s2d"
     for layer in layers:
         kind = layer[0]
         if kind == "conv_in":
-            h = F.conv2d(h, p["conv"]["w"], p["conv"]["b"])
+            if in_s2d:
+                h = S.conv2d_s2d(h, p["conv"]["w"], p["conv"]["b"],
+                                 precision=F._mm_precision(h))
+            else:
+                h = F.conv2d(h, p["conv"]["w"], p["conv"]["b"])
         elif kind == "res":
             h = blocks.resblock_apply(
                 p["res"], h, emb, num_groups=cfg.gn_num_groups,
                 eps=cfg.gn_eps,
-                scale_shift_norm=cfg.use_scale_shift_norm)
+                scale_shift_norm=cfg.use_scale_shift_norm, s2d=in_s2d)
         elif kind == "attn":
+            assert not in_s2d, "attention runs in pixel space only"
             h = blocks.attention_apply(p["attn"], h,
                                        head_size=cfg.num_head_channels,
                                        num_groups=cfg.gn_num_groups,
                                        eps=cfg.gn_eps)
         elif kind == "down":
-            h = F.avg_pool_2x(h)
+            # s2d input: the pool window IS the patch (phase mean);
+            # output is pixel space either way.
+            h = S.avg_pool_2x_from_s2d(h) if in_s2d else F.avg_pool_2x(h)
         elif kind == "up":
-            h = F.upsample_nearest_2x(h)
+            h = (S.upsample_2x_to_s2d(h) if mode == "to_s2d"
+                 else F.upsample_nearest_2x(h))
     return h
+
+
+# Space-to-depth execution of the highest-resolution level (ops/s2d.py).
+# MEASURED NEGATIVE RESULT, off by default: packing 2x2 pixel patches
+# into channels fills the MXU's 128 output lanes (the C=model_channels
+# level-0 convs fill half in pixel space), but (a) the 16/9 FLOP
+# inflation caps the effective ceiling at ~110 TF/s — barely above the
+# 98 TF/s half-lane bound it replaces — and (b) the per-conv phase
+# extraction (4 shifted slices + concat) adds ~18 ms/step of layout
+# copies plus ~8 ms of broadcasts at 64 px: 52.1 ms/step vs 16.9
+# pixel-space (trace bucket table in docs/PERF.md).  Kept selectable for
+# the parity tests and future lane-geometry experiments.
+_S2D_MODE = os.environ.get("UNET_TPU_S2D", "off")
+
+
+def set_s2d_mode(name: str) -> None:
+    """Select level-0 execution BEFORE tracing: "off" (default — see the
+    measured-negative note above), "on" (patch space wherever supported,
+    any backend — used by the CPU parity tests), or "auto" (patch space
+    for bf16 on TPU when supported).  Also via UNET_TPU_S2D."""
+    global _S2D_MODE
+    assert name in ("auto", "on", "off"), name
+    _S2D_MODE = name
+
+
+def s2d_supported(cfg: UnetConfig) -> bool:
+    """Patch-space level-0 needs: an even image with a >= 2x2 patch grid,
+    a level below it (the down/up boundaries do the space conversion),
+    and no attention at ds=1 (attention stays in pixel space)."""
+    return (cfg.image_size % 2 == 0 and cfg.image_size // 2 >= 2
+            and cfg.num_levels >= 2 and 1 not in cfg.attention_ds)
+
+
+def _use_s2d(cfg: UnetConfig, compute_dtype) -> bool:
+    if _S2D_MODE == "off" or not s2d_supported(cfg):
+        return False
+    if _S2D_MODE == "on":
+        return True
+    return (jnp.dtype(compute_dtype) == jnp.bfloat16
+            and jax.default_backend() == "tpu")
 
 
 def apply(params, cfg: UnetConfig, x, t, y=None, *,
@@ -189,10 +243,28 @@ def apply(params, cfg: UnetConfig, x, t, y=None, *,
     plan = build_plan(cfg)
     params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
     x = x.astype(compute_dtype)
+    use_s2d = _use_s2d(cfg, compute_dtype)
+
+    # level-0 group indices (patch space when use_s2d)
+    nres = cfg.num_res_blocks
+    n_out = len(plan.output_blocks)
+
+    def in_mode(i):
+        # conv_in + level-0 res blocks + the level-0 "down" group
+        return "s2d" if use_s2d and i <= nres + 1 else "normal"
+
+    def out_mode(i):
+        if not use_s2d:
+            return "normal"
+        if i >= n_out - (nres + 1):
+            return "s2d"           # level-0 output blocks
+        if i == n_out - (nres + 1) - 1:
+            return "to_s2d"        # level-1 block whose "up" feeds level 0
+        return "normal"
 
     group = _apply_layer_group
     if remat:
-        group = jax.checkpoint(group, static_argnums=(1, 4))
+        group = jax.checkpoint(group, static_argnums=(1, 4, 5))
 
     emb = F.timestep_embedding(t, cfg.model_channels,
                                max_period=cfg.max_period)
@@ -203,22 +275,39 @@ def apply(params, cfg: UnetConfig, x, t, y=None, *,
     if y is not None:
         emb = emb + params["label_emb"][y]
 
-    h = x
+    h = S.space_to_depth(x) if use_s2d else x
     skips = []
-    for p, layers in zip(params["input"], plan.input_blocks):
-        h = group(p, layers, h, emb, cfg)
+    for i, (p, layers) in enumerate(zip(params["input"],
+                                        plan.input_blocks)):
+        h = group(p, layers, h, emb, cfg, in_mode(i))
         skips.append(h)
 
     mid = params["middle"]
-    h = group({"res": mid["res1"]}, (plan.middle[0],), h, emb, cfg)
-    h = group({"attn": mid["attn"]}, (plan.middle[1],), h, emb, cfg)
-    h = group({"res": mid["res2"]}, (plan.middle[2],), h, emb, cfg)
+    h = group({"res": mid["res1"]}, (plan.middle[0],), h, emb, cfg,
+              "normal")
+    h = group({"attn": mid["attn"]}, (plan.middle[1],), h, emb, cfg,
+              "normal")
+    h = group({"res": mid["res2"]}, (plan.middle[2],), h, emb, cfg,
+              "normal")
 
-    for p, layers in zip(params["output"], plan.output_blocks):
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
-        h = group(p, layers, h, emb, cfg)
+    for i, (p, layers) in enumerate(zip(params["output"],
+                                        plan.output_blocks)):
+        skip = skips.pop()
+        if out_mode(i) == "s2d":
+            h = S.concat_channels(h, skip)
+        else:
+            h = jnp.concatenate([h, skip], axis=-1)
+        h = group(p, layers, h, emb, cfg, out_mode(i))
 
     out = params["out"]
+    if use_s2d:
+        h = S.group_norm_silu_s2d(h, out["gn"]["scale"],
+                                  out["gn"]["bias"],
+                                  num_groups=cfg.gn_num_groups,
+                                  eps=cfg.gn_eps)
+        h = S.conv2d_s2d(h, out["conv"]["w"], out["conv"]["b"],
+                         precision=F._mm_precision(h))
+        return S.depth_to_space(h)
     h = F.group_norm_silu(h, out["gn"]["scale"], out["gn"]["bias"],
                           num_groups=cfg.gn_num_groups, eps=cfg.gn_eps)
     return F.conv2d(h, out["conv"]["w"], out["conv"]["b"])
