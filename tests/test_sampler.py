@@ -102,3 +102,52 @@ def test_invalid_linear_schedule_rejected():
     d = GaussianDiffusion.create(named_beta_schedule("cosine", 12))
     assert np.isfinite(
         np.asarray(d.sqrt_one_minus_alphas_cumprod)).all()
+
+
+def test_ddim_exact_on_analytic_model():
+    """With a model that returns the TRUE eps for constant data x0=c,
+    x0_pred is exact at every step, so eta=0 DDIM must land exactly on c
+    regardless of the subsequence length."""
+    T = 100
+    cfg = UnetConfig(model_channels=32, image_size=8, attention_ds=(2,),
+                     num_head_channels=32, channel_mult=(1, 2),
+                     max_period=T)
+    diffusion = GaussianDiffusion.create(named_beta_schedule("linear", T))
+    abar = jnp.asarray(diffusion.alphas_cumprod)
+    c = 0.37
+
+    def true_eps(params, x, t):
+        a = abar[t.astype(jnp.int32) - 1][:, None, None, None]
+        return (x - jnp.sqrt(a) * c) * jax.lax.rsqrt(1.0 - a)
+
+    from unet_tpu.diffusion.sampler import ddim_sample
+    for steps in (5, 25):
+        out = jax.jit(lambda key: ddim_sample(
+            None, cfg, diffusion, key, num_steps=steps, eta=0.0,
+            batch_size=2, model_fn=true_eps))(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), c, atol=5e-5)
+
+
+def test_ddim_deterministic_and_eta_branches(rng):
+    """eta=0 is a deterministic function of x_init (key-independent);
+    eta>0 injects noise; full-model run stays finite."""
+    T = 60
+    cfg = UnetConfig(model_channels=32, image_size=8, attention_ds=(2,),
+                     num_head_channels=32, channel_mult=(1, 2),
+                     max_period=T)
+    params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(1))
+    diffusion = GaussianDiffusion.create(named_beta_schedule("linear", T))
+    from unet_tpu.diffusion.sampler import ddim_sample
+    x_init = jnp.asarray(rng.standard_normal((2, 8, 8, 3),
+                                             dtype=np.float32))
+
+    def run(eta, key):
+        return jax.jit(lambda k: ddim_sample(
+            params, cfg, diffusion, k, num_steps=7, eta=eta,
+            batch_size=2, x_init=x_init))(jax.random.PRNGKey(key))
+
+    a, b = run(0.0, 0), run(0.0, 5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
+    c1, c2 = run(1.0, 0), run(1.0, 5)
+    assert np.abs(np.asarray(c1) - np.asarray(c2)).max() > 1e-4

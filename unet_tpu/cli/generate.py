@@ -24,17 +24,36 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     add_dict_to_argparser(parser, dict(
         model_filename="", output_filename="sample.jpg",
-        batch_size=1, seed=0, compute_dtype="float32"))
+        batch_size=1, seed=0, compute_dtype="float32",
+        use_ema=False,   # sample the EMA weights (train.py --ema_rate)
+        sampler="ddpm",  # "ddpm" (998-step ancestral, the reference
+        #                  path) or "ddim" (fast deterministic sampling)
+        ddim_steps=50,
+        ddim_eta=0.0))
     args = parser.parse_args(argv)
     if not args.model_filename:
         parser.error("--model_filename is required")
+    if args.sampler not in ("ddpm", "ddim"):
+        parser.error(f"unknown sampler {args.sampler!r}")
 
     ckpt = ckpt_io.load(args.model_filename)
+    if args.use_ema:
+        if ckpt.ema is None:
+            parser.error(f"{args.model_filename} carries no EMA weights "
+                         "(train with --ema_rate > 0)")
+        ckpt.params = ckpt.ema
     cfg = ckpt.cfg
     diffusion = GaussianDiffusion.create(
         named_beta_schedule("linear", cfg.max_period))
-    sampler = make_sampler(cfg, diffusion, batch_size=args.batch_size,
-                           compute_dtype=np.dtype(args.compute_dtype))
+    if args.sampler == "ddim":
+        from unet_tpu.diffusion.sampler import make_ddim_sampler
+        sampler = make_ddim_sampler(
+            cfg, diffusion, num_steps=args.ddim_steps, eta=args.ddim_eta,
+            batch_size=args.batch_size,
+            compute_dtype=np.dtype(args.compute_dtype))
+    else:
+        sampler = make_sampler(cfg, diffusion, batch_size=args.batch_size,
+                               compute_dtype=np.dtype(args.compute_dtype))
     images = sampler(ckpt.params, jax.random.PRNGKey(args.seed))
     arr = to_uint8(images)  # (B, H, W, C)
 

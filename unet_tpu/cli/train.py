@@ -72,6 +72,11 @@ def defaults() -> dict:
         noise_schedule="linear",
         lr=1e-4,
         weight_decay=0.0,
+        ema_rate=0.0,              # >0 maintains an fp32 parameter EMA
+        #                            and saves it in checkpoints (the
+        #                            reference parses --ema_rate but never
+        #                            uses it, train_unet.py:664; sample
+        #                            the EMA with generate.py --use_ema)
         batch_size=32,
         log_interval=100,
         save_interval=10_000,
@@ -141,6 +146,8 @@ def _reject_bad_combos(args) -> None:
     def bad(cond, msg):
         if cond:
             raise SystemExit(f"train: {msg}")
+    bad(not 0.0 <= args.ema_rate < 1.0,
+        "--ema_rate must be in [0, 1)")
     bad(args.host_rng and args.log_norms,
         "--host_rng and --log_norms cannot be combined")
     bad(args.log_norms and args.class_cond,
@@ -190,6 +197,7 @@ def main(argv=None) -> None:
     num_classes = args.num_classes if args.class_cond else None
     tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                      weight_decay=args.weight_decay,
+                     ema_rate=args.ema_rate,
                      iterations=args.iterations,
                      log_interval=args.log_interval,
                      save_interval=args.save_interval,
@@ -198,13 +206,14 @@ def main(argv=None) -> None:
 
     # --- model init / load (reference train_unet.cu:4819-4911) ---
     start_step = 0
-    adam_m = adam_v = host_rng_state = None
+    adam_m = adam_v = host_rng_state = ema_prev = None
     seed = args.seed
     if args.model_weights:
         ckpt = ckpt_io.load(args.model_weights, cfg, num_classes)
         params, start_step = ckpt.params, ckpt.step
         adam_m, adam_v = ckpt.adam_m, ckpt.adam_v
         host_rng_state = ckpt.host_rng_state
+        ema_prev = ckpt.ema
         if ckpt.rng_seed is not None:
             seed = ckpt.rng_seed
         print(f"loaded {args.model_weights} (step {start_step})")
@@ -222,7 +231,8 @@ def main(argv=None) -> None:
         print(f"wrote init checkpoint to {args.init_model_filename}")
         return
 
-    state = trainer.init_state(params, seed=seed, step=start_step)
+    state = trainer.init_state(params, seed=seed, step=start_step,
+                               ema_rate=args.ema_rate, ema=ema_prev)
     if adam_m is not None:
         state = state._replace(m=adam_m, v=adam_v)
 
@@ -367,7 +377,9 @@ def main(argv=None) -> None:
                 adam_v=jax.device_get(state.v), rng_seed=seed,
                 loader_pos=it,
                 host_rng_state=(host_rng.get_state()
-                                if host_rng is not None else None)),
+                                if host_rng is not None else None),
+                ema=(jax.device_get(state.ema)
+                     if state.ema is not None else None)),
                 num_classes)
             text_log.log(f"saved {path}")
 

@@ -74,6 +74,11 @@ class TrainConfig:
     iterations: int = 100_000
     log_interval: int = 100
     save_interval: int = 10_000
+    # Exponential moving average of the parameters (reference
+    # train_unet.py:664 parses --ema_rate "0.9999" but neither trainer
+    # consumes it — here 0 < ema_rate < 1 actually maintains the average
+    # and checkpoints it for sampling).
+    ema_rate: float = 0.0
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     remat: bool = False

@@ -33,6 +33,10 @@ blob would make our files unloadable there.  Extension fields:
     so load(cfg=None) reconstructs the exact model — the reference loader
     instead HARDCODES these (train_unet.cu:4848-4864) and cannot load any
     non-default architecture.
+  * header[38] == 1: an fp32 EMA of the parameters (same flat order) is
+    appended after the AdamW moments and before any MT19937 blob
+    (TrainConfig.ema_rate; the reference parses --ema_rate but never
+    maintains one, train_unet.py:664).
 On load, a reference curandState blob (has_rng=1 from CUDA) is ignored.
 
 Layout transforms happen only here: pytree arrays are TPU-native
@@ -187,6 +191,7 @@ class Checkpoint:
     rng_seed: Optional[int] = None
     loader_pos: int = 0               # dataloader cursor, in batches
     host_rng_state: Optional[np.ndarray] = None  # (625,) uint32 MT19937
+    ema: Optional[object] = None      # fp32 EMA pytree, params structure
 
 
 def save(path: str, ckpt: Checkpoint,
@@ -211,6 +216,7 @@ def save(path: str, ckpt: Checkpoint,
     header[11] = 0 if ckpt.rng_seed is None else ckpt.rng_seed
     header[14] = ckpt.loader_pos
     header[15] = 0 if ckpt.host_rng_state is None else 1
+    header[38] = 0 if ckpt.ema is None else 1
     _arch_to_header(header, cfg, num_classes)
     with open(path, "wb") as f:
         f.write(header.tobytes())
@@ -218,6 +224,8 @@ def save(path: str, ckpt: Checkpoint,
         if ckpt.adam_m is not None:
             f.write(flatten_params(ckpt.adam_m, cfg, num_classes).tobytes())
             f.write(flatten_params(ckpt.adam_v, cfg, num_classes).tobytes())
+        if ckpt.ema is not None:
+            f.write(flatten_params(ckpt.ema, cfg, num_classes).tobytes())
         if ckpt.host_rng_state is not None:
             state = np.ascontiguousarray(ckpt.host_rng_state, np.uint32)
             if state.size != HOST_RNG_WORDS:
@@ -315,11 +323,15 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
         # header[10]/[11] with no marker; they now load as plain
         # reference checkpoints (params + moments, step=0, fresh RNG).
         # No such checkpoints ship in this repo; re-save to upgrade.
-        step = rng_seed = loader_pos = host_rng_state = None
+        step = rng_seed = loader_pos = host_rng_state = ema = None
         if is_ext:
             step = int(header[10])
             rng_seed = int(header[11]) if header[13] == 1 else None
             loader_pos = int(header[14])
+            if header[38] == 1:
+                ema = unflatten_params(
+                    np.frombuffer(f.read(n * 4), dtype=np.float32), cfg,
+                    num_classes)
             if header[15] == 1:
                 host_rng_state = np.frombuffer(
                     f.read(HOST_RNG_WORDS * 4), dtype=np.uint32).copy()
@@ -328,4 +340,4 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
     return Checkpoint(params=params, cfg=cfg, batch_size=int(header[1]),
                       step=step or 0, adam_m=adam_m, adam_v=adam_v,
                       rng_seed=rng_seed, loader_pos=loader_pos or 0,
-                      host_rng_state=host_rng_state)
+                      host_rng_state=host_rng_state, ema=ema)

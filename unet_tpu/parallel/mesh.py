@@ -163,15 +163,18 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step), loss
+        return state._replace(
+            params=params, m=m, v=v, step=new_step,
+            ema=trainer._ema_step(state.ema, params, tc.ema_rate)), loss
 
     rep = replicated(mesh)
     if fsdp or tp:
         assert example_params is not None, "fsdp/tp needs example_params"
         shard_fn = fsdp_sharding if fsdp else tp_sharding
         ptree = shard_fn(mesh, example_params)
-        state_sh = trainer.TrainState(params=ptree, m=ptree, v=ptree,
-                                      step=rep, rng=rep)
+        state_sh = trainer.TrainState(
+            params=ptree, m=ptree, v=ptree, step=rep, rng=rep,
+            ema=ptree if tc.ema_rate > 0.0 else None)
     else:
         state_sh = rep
     return jax.jit(
@@ -195,7 +198,9 @@ def shard_state(state: trainer.TrainState, mesh: Mesh,
             m=jax.device_put(state.m, ptree),
             v=jax.device_put(state.v, ptree),
             step=jax.device_put(state.step, rep),
-            rng=jax.device_put(state.rng, rep))
+            rng=jax.device_put(state.rng, rep),
+            ema=(None if state.ema is None
+                 else jax.device_put(state.ema, ptree)))
     return jax.device_put(state, replicated(mesh))
 
 

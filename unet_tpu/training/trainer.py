@@ -32,6 +32,10 @@ class TrainState(NamedTuple):
     v: object
     step: jnp.ndarray  # int32, number of completed optimizer steps
     rng: jax.Array     # BASE jax PRNG key (constant across the run)
+    # fp32 exponential moving average of params, or None when disabled
+    # (reference train_unet.py:664 parses --ema_rate but never uses it;
+    # here it is a live feature — see TrainConfig.ema_rate)
+    ema: object = None
 
 
 def step_keys(state: "TrainState"):
@@ -46,11 +50,30 @@ def step_keys(state: "TrainState"):
     return jax.random.split(k)
 
 
-def init_state(params, *, seed: int = 0, step: int = 0) -> TrainState:
+def init_state(params, *, seed: int = 0, step: int = 0,
+               ema_rate: float = 0.0, ema=None) -> TrainState:
+    """ema_rate > 0 seeds the EMA from `params` (or from `ema` when
+    resuming a checkpoint that carries one)."""
     m, v = optim.init_moments(params)
+    if ema is None and ema_rate > 0.0:
+        # jnp.array (copy), NOT asarray: the EMA must not alias the
+        # param buffers — the train steps donate the whole state, and a
+        # shared buffer would be donated twice (runtime error)
+        ema = jax.tree.map(lambda a: jnp.array(a, jnp.float32), params)
     return TrainState(params=params, m=m, v=v,
                       step=jnp.asarray(step, jnp.int32),
-                      rng=jax.random.PRNGKey(seed))
+                      rng=jax.random.PRNGKey(seed), ema=ema)
+
+
+def _ema_step(ema, params, rate: float):
+    """ema <- rate * ema + (1 - rate) * params, fp32 master precision
+    (the torch-side convention for diffusion EMAs: averaged AFTER the
+    optimizer update each step)."""
+    if ema is None or rate <= 0.0:
+        return ema
+    return jax.tree.map(
+        lambda e, p: e * rate + p.astype(jnp.float32) * (1.0 - rate),
+        ema, params)
 
 
 def make_loss_fn(cfg: UnetConfig, diffusion: GaussianDiffusion,
@@ -84,7 +107,9 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step), loss
+        return state._replace(
+            params=params, m=m, v=v, step=new_step,
+            ema=_ema_step(state.ema, params, tc.ema_rate)), loss
 
     def train_step(state: TrainState, batch, y=None):
         t_key, n_key = step_keys(state)
@@ -127,7 +152,9 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step), loss
+        return state._replace(
+            params=params, m=m, v=v, step=new_step,
+            ema=_ema_step(state.ema, params, tc.ema_rate)), loss
 
     def multi_step(state: TrainState, batches):
         return jax.lax.scan(one, state, batches, unroll=unroll)
@@ -169,7 +196,9 @@ def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
-        return state._replace(params=params, m=m, v=v, step=new_step), aux
+        return state._replace(
+            params=params, m=m, v=v, step=new_step,
+            ema=_ema_step(state.ema, params, tc.ema_rate)), aux
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
