@@ -177,6 +177,16 @@ struct BinLoader {
   int64_t cursor = 0;          // next image index (sequential order)
   size_t img_floats = 0;
 
+  // indexed mode (shuffle/flip/shard): Python supplies the epoch's
+  // absolute image indices + per-image flip bytes (the rng stays in
+  // Python so the trajectory-faithful resume replay contract is shared
+  // with the pure-Python loader); the worker gathers, CHW->HWC
+  // transposes and width-flips in one pass on its own thread.
+  std::vector<int64_t> order;
+  std::vector<uint8_t> flips;
+  int64_t ocur = 0;            // next position in `order`
+  bool indexed = false;
+
   // double buffer: the worker fills `back` while the caller consumes front
   std::vector<float> back;
   std::vector<float> chw;      // staging read buffer
@@ -185,6 +195,7 @@ struct BinLoader {
   std::condition_variable cv;
   bool ready = false;          // back buffer holds a batch
   bool want = false;           // caller requested a fill
+  bool filling = false;        // worker is mid-fill (set_epoch waits)
   std::atomic<bool> stop{false};
 
   ~BinLoader() {
@@ -239,35 +250,102 @@ struct BinLoader {
     cv.notify_all();
   }
 
+  // uint8 variant: emit round((v + 1) * 127.5) in one pass — the H2D
+  // byte encoding (trainer.make_multi_step input_u8).  lrintf under the
+  // default FE_TONEAREST mode matches np.round's round-half-even.
+  void next_u8(uint8_t* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [this] { return ready; });
+    const float* src = back.data();
+    const size_t m = back.size();
+    for (size_t i = 0; i < m; ++i) {
+      long v = lrintf((src[i] + 1.0f) * 127.5f);
+      out[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+    ready = false;
+    want = true;
+    cv.notify_all();
+  }
+
+  // Install a new serving order (absolute image indices + flip bytes)
+  // and discard anything prefetched from the previous one.  start_batch
+  // offsets into idx in batch units.  Returns false on bad arguments.
+  bool set_epoch(const int64_t* idx, const uint8_t* flip, int64_t n_idx,
+                 int64_t start_batch) {
+    if (n_idx < batch || start_batch * batch >= n_idx) return false;
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [this] { return !filling; });
+    order.assign(idx, idx + n_idx);
+    if (flip) {
+      flips.assign(flip, flip + n_idx);
+    } else {
+      flips.assign(static_cast<size_t>(n_idx), 0);
+    }
+    ocur = start_batch * batch;
+    indexed = true;
+    ready = false;  // stale prefetch from the old order
+    want = true;
+    cv.notify_all();
+    return true;
+  }
+
  private:
+  void read_image(int64_t img, float* dst, bool fl) {
+    fseek(file, 256 * sizeof(int32_t)
+               + img * static_cast<int64_t>(img_floats) * sizeof(float),
+          SEEK_SET);
+    size_t got = fread(chw.data(), sizeof(float), img_floats, file);
+    if (got != img_floats) { std::memset(chw.data(), 0, img_floats * 4); }
+    // CHW -> HWC, optionally mirroring width in the same pass
+    const int hw = h * w;
+    for (int ch = 0; ch < c; ++ch) {
+      const float* src = chw.data() + static_cast<size_t>(ch) * hw;
+      if (fl) {
+        for (int y = 0; y < h; ++y)
+          for (int x = 0; x < w; ++x)
+            dst[(static_cast<size_t>(y) * w + (w - 1 - x)) * c + ch] =
+                src[y * w + x];
+      } else {
+        for (int p = 0; p < hw; ++p)
+          dst[static_cast<size_t>(p) * c + ch] = src[p];
+      }
+    }
+  }
+
   void run() {
     for (;;) {
       std::unique_lock<std::mutex> lk(mu);
       cv.wait(lk, [this] { return want || stop; });
       if (stop) return;
       want = false;
+      if (indexed &&
+          ocur + batch > static_cast<int64_t>(order.size())) {
+        // epoch exhausted: wait for the next set_epoch instead of
+        // wrapping (Python owns the epoch boundary and its rng draws)
+        continue;
+      }
+      filling = true;
       lk.unlock();
 
-      // sequential fixed-stride batches, wrap at EOF (reference
-      // train_unet.cu:3085-3096)
-      if (cursor + batch > n) cursor = 0;
-      fseek(file, 256 * sizeof(int32_t)
-                 + cursor * static_cast<int64_t>(img_floats) * sizeof(float),
-            SEEK_SET);
-      for (int b = 0; b < batch; ++b) {
-        size_t got = fread(chw.data(), sizeof(float), img_floats, file);
-        if (got != img_floats) { std::memset(chw.data(), 0, img_floats * 4); }
-        // CHW -> HWC
-        float* dst = back.data() + static_cast<size_t>(b) * img_floats;
-        const int hw = h * w;
-        for (int ch = 0; ch < c; ++ch) {
-          const float* src = chw.data() + static_cast<size_t>(ch) * hw;
-          for (int p = 0; p < hw; ++p) dst[static_cast<size_t>(p) * c + ch] = src[p];
-        }
+      if (indexed) {
+        for (int b = 0; b < batch; ++b)
+          read_image(order[ocur + b],
+                     back.data() + static_cast<size_t>(b) * img_floats,
+                     flips[ocur + b] != 0);
+        ocur += batch;
+      } else {
+        // sequential fixed-stride batches, wrap at EOF (reference
+        // train_unet.cu:3085-3096)
+        if (cursor + batch > n) cursor = 0;
+        for (int b = 0; b < batch; ++b)
+          read_image(cursor + b,
+                     back.data() + static_cast<size_t>(b) * img_floats,
+                     false);
+        cursor += batch;
       }
-      cursor += batch;
 
       lk.lock();
+      filling = false;
       ready = true;
       cv.notify_all();
     }
@@ -323,5 +401,17 @@ void loader_meta(void* l, int64_t* out4) {
 }
 // writes batch * h * w * c floats (NHWC)
 void loader_next(void* l, float* out) { static_cast<BinLoader*>(l)->next(out); }
+// writes batch * h * w * c uint8 pixels round((v+1)*127.5) (NHWC)
+void loader_next_u8(void* l, uint8_t* out) {
+  static_cast<BinLoader*>(l)->next_u8(out);
+}
+// install an epoch order: idx[n_idx] absolute image indices, flip[n_idx]
+// 0/1 width-mirror bytes (flip may be NULL), serving from batch
+// `start_batch` of the order.  Returns 1 on success.
+int loader_set_epoch(void* l, const int64_t* idx, const uint8_t* flip,
+                     int64_t n_idx, int64_t start_batch) {
+  return static_cast<BinLoader*>(l)->set_epoch(idx, flip, n_idx,
+                                               start_batch) ? 1 : 0;
+}
 
 }  // extern "C"

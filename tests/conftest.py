@@ -23,6 +23,12 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # tests run on the virtual mesh
+# The env var above is read when jax's config initializes — which already
+# happened in sitecustomize — so the cache dir must ALSO be set through
+# jax.config (same trap as jax_platforms).  Without this the persistent
+# cache silently never writes and every test pays full compile time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -139,3 +139,10 @@ def test_ema_cli_train_resume_and_generate(tmp_path):
                        os.path.join(out_a, "model_4.bin"),
                        "--output_filename", out_png, "--use_ema", "true"])
     assert os.path.exists(out_png)
+
+    out_ddim = os.path.join(tmp_path, "ddim_sample.png")
+    cli_generate.main(["--model_filename",
+                       os.path.join(out_a, "model_4.bin"),
+                       "--output_filename", out_ddim, "--use_ema", "true",
+                       "--sampler", "ddim", "--ddim_steps", "7"])
+    assert os.path.exists(out_ddim)

@@ -93,3 +93,83 @@ def test_native_loader_matches_python_reader(tmp_path):
     np.testing.assert_array_equal(b2, ds.batch_nhwc(np.arange(4, 8)))
     b3 = loader.next_batch()
     np.testing.assert_array_equal(b3, ds.batch_nhwc(np.arange(0, 4)))
+
+
+def test_native_augmented_loader_parity(tmp_path):
+    """NativeAugmentedLoader (C++ gather+transpose+flip, Python rng) is
+    bit-identical to data_loader across shuffle/flip/shard/resume
+    combinations, including epoch wraps."""
+    from unet_tpu.data import dataset
+    try:
+        native.load_library()
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+
+    imgs = (np.random.default_rng(1)
+            .standard_normal((37, 3, 8, 8)).astype(np.float32))
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, imgs)
+
+    cases = [
+        dict(shuffle=True, flip=True),
+        dict(shuffle=True, flip=True, skip_batches=7),
+        dict(shuffle=False, flip=True, skip_batches=5),
+        dict(shuffle=True, flip=False, num_shards=2, shard_index=1,
+             skip_batches=3),
+        dict(shuffle=False, flip=False),
+    ]
+    for kw in cases:
+        py = dataset.data_loader(path, 4, seed=3, **kw)
+        nat = native.NativeAugmentedLoader(path, 4, seed=3, **kw)
+        for k in range(25):  # 37 imgs / B=4 -> several epoch wraps
+            np.testing.assert_array_equal(next(py), next(nat),
+                                          err_msg=f"{kw} batch {k}")
+
+
+def test_native_next_into(tmp_path):
+    """next_into fills a row view of a preallocated chunk (the
+    trainer's multi-step assembly path) identically to next_batch."""
+    from unet_tpu.data import dataset
+    try:
+        native.load_library()
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+
+    imgs = (np.random.default_rng(2)
+            .standard_normal((12, 3, 8, 8)).astype(np.float32))
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, imgs)
+    ds = dataset.BinDataset(path)
+
+    loader = native.NativeLoader(path, batch_size=4)
+    out = np.empty((3, 4, 8, 8, 3), np.float32)
+    for j in range(3):
+        loader.next_into(out[j])
+    np.testing.assert_array_equal(out[0], ds.batch_nhwc(np.arange(0, 4)))
+    np.testing.assert_array_equal(out[2], ds.batch_nhwc(np.arange(8, 12)))
+
+
+def test_native_u8_emission(tmp_path):
+    """loader_next_u8 emits round((v+1)*127.5) bytes matching np.round
+    of the f32 batch (the H2D byte encoding)."""
+    from unet_tpu.data import dataset
+    try:
+        native.load_library()
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+
+    u8src = (np.random.default_rng(5)
+             .integers(0, 256, (20, 3, 8, 8)).astype(np.uint8))
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, u8src.astype(np.float32) / 127.5 - 1.0)
+    a = native.NativeAugmentedLoader(path, 4, shuffle=True, flip=True,
+                                     seed=3)
+    b = native.NativeAugmentedLoader(path, 4, shuffle=True, flip=True,
+                                     seed=3)
+    for _ in range(12):  # covers epoch wraps
+        o8 = np.empty((4, 8, 8, 3), np.uint8)
+        a.next_into(o8)
+        of = np.empty((4, 8, 8, 3), np.float32)
+        b.next_into(of)
+        np.testing.assert_array_equal(
+            o8, np.round((of + 1.0) * 127.5).astype(np.uint8))

@@ -280,3 +280,34 @@ def test_training_trajectory_parity_100_steps(rng):
     final_torch = np.concatenate(
         [p.detach().numpy().ravel() for p in tmodel.params])
     np.testing.assert_allclose(final_jax, final_torch, atol=2e-2)
+
+
+def test_multi_step_u8_input_equivalent(rng):
+    """input_u8=True reconstructs u/127.5-1 on device within 1 ulp of
+    the host f32 (XLA lowers /const as a reciprocal multiply, so exact
+    bitness is not promised), and the training trajectory is equivalent
+    at that noise level."""
+    from unet_tpu.config import UnetConfig
+    from unet_tpu.models import unet
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2, 4),
+                     num_head_channels=32, channel_mult=(1, 2))
+    tc = TrainConfig(batch_size=2, lr=1e-3)
+    params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
+    u8 = rng.integers(0, 256, (3, 2, 16, 16, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+
+    # reconstruction: within 1 ulp (of values in [-1, 1])
+    rec = np.asarray(jax.jit(
+        lambda u: u.astype(jnp.float32) / 127.5 - 1.0)(u8))
+    np.testing.assert_allclose(rec, f32, atol=1.3e-7, rtol=0)
+
+    m_f = trainer.make_multi_step(cfg, tc, donate=False)
+    s_f = trainer.init_state(jax.tree.map(jnp.array, params))
+    s_f, l_f = m_f(s_f, f32)
+
+    m_u = trainer.make_multi_step(cfg, tc, donate=False, input_u8=True)
+    s_u = trainer.init_state(jax.tree.map(jnp.array, params))
+    s_u, l_u = m_u(s_u, u8)
+
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_u),
+                               rtol=1e-4)

@@ -280,8 +280,11 @@ def main(argv=None) -> None:
                 and start_step % tc.log_interval == 0
                 and tc.iterations % tc.log_interval == 0):
             # scan log_interval steps into one dispatch (cuts per-step
-            # host overhead; losses still reported per step)
-            multi = trainer.make_multi_step(cfg, tc, diffusion)
+            # host overhead; losses still reported per step).  The fn is
+            # built on the first chunk: an exact-uint8 probe picks the
+            # H2D encoding (see assemble_chunk / make_multi_step).
+            multi = "pending"
+    native_chunk = None
     if args.data_dir:
         loader = dataset.image_dir_loader(
             args.data_dir, global_batch, size=args.image_size,
@@ -294,8 +297,21 @@ def main(argv=None) -> None:
         # runs the current step (reference loader contract
         # train_unet.cu:3032-3099, minus the blocking reads)
         from unet_tpu.utils.native import NativeLoader
-        loader = iter(NativeLoader(args.data_file, global_batch,
-                                   skip_batches=start_step))
+        native_chunk = NativeLoader(args.data_file, global_batch,
+                                    skip_batches=start_step)
+        loader = iter(native_chunk)
+    elif args.native_loader:
+        # shuffle/flip/shard .bin stream: same C++ prefetch thread doing
+        # the gather+transpose+mirror, rng draws staying in Python with
+        # data_loader's exact consumption order (bit-identical batches,
+        # trajectory-faithful resume; tests/test_native.py)
+        from unet_tpu.utils.native import NativeAugmentedLoader
+        native_chunk = NativeAugmentedLoader(
+            args.data_file, global_batch, shuffle=tc.shuffle,
+            flip=args.flip or args.randomize, seed=seed,
+            num_shards=args.num_shards, shard_index=args.shard_index,
+            skip_batches=start_step)
+        loader = iter(native_chunk)
     else:
         loader = dataset.data_loader(args.data_file, global_batch,
                                      shuffle=tc.shuffle,
@@ -303,6 +319,48 @@ def main(argv=None) -> None:
                                      seed=seed, skip_batches=start_step,
                                      num_shards=args.num_shards,
                                      shard_index=args.shard_index)
+
+    def assemble_chunk(k):
+        """(k, B, H, W, C) stack of the next k batches, in the chosen
+        H2D encoding.  Native loaders fill a preallocated array row by
+        row (no np.stack copy of the whole 100-batch chunk).
+
+        On the first chunk this probes whether the pixel values are
+        EXACTLY u/127.5 - 1 of uint8 pixels (true for every
+        prepare_data-written .bin) and, if so, ships uint8 and lets the
+        device reconstruct f32 within 1 ulp — 1/4 the host->device
+        bytes, which on a tunneled TPU is the difference between a
+        transfer-bound and a compute-bound training loop."""
+        nonlocal multi
+        shape = (k, global_batch, cfg.image_size, cfg.image_size,
+                 cfg.in_channels)
+        if native_chunk is not None and multi != "pending" and h2d_u8[0]:
+            # steady state: the C++ loader emits the bytes directly
+            out = np.empty(shape, np.uint8)
+            for j in range(k):
+                native_chunk.next_into(out[j])
+            return out
+        if native_chunk is not None:
+            out = np.empty(shape, np.float32)
+            for j in range(k):
+                native_chunk.next_into(out[j])
+        else:
+            out = np.stack([next(loader) for _ in range(k)])
+        if multi == "pending":
+            u8 = np.round((out + 1.0) * 127.5).astype(np.uint8)
+            h2d_u8[0] = bool(np.array_equal(
+                u8.astype(np.float32) / 127.5 - 1.0, out))
+            multi = trainer.make_multi_step(cfg, tc, diffusion,
+                                            input_u8=h2d_u8[0])
+            if h2d_u8[0]:
+                text_log.log("H2D encoding: uint8 (byte-derived dataset;"
+                             " f32 reconstructed on device within 1 ulp)")
+                return u8
+        if h2d_u8[0]:
+            return np.round((out + 1.0) * 127.5).astype(np.uint8)
+        return out
+
+    h2d_u8 = [False]
 
     # --- loop (reference train_unet.cu:5019-5058) ---
     text_log = TextLog(args.log_file)
@@ -316,11 +374,11 @@ def main(argv=None) -> None:
         if multi is not None:
             k = tc.log_interval
             if kbatch_next is None:
-                kbatch_next = np.stack([next(loader) for _ in range(k)])
+                kbatch_next = assemble_chunk(k)
             state, losses = multi(state, kbatch_next)
             # jax dispatch is async: assemble the NEXT chunk while the
             # device runs this one, then block on the losses
-            kbatch_next = (np.stack([next(loader) for _ in range(k)])
+            kbatch_next = (assemble_chunk(k)
                            if it + k < tc.iterations else None)
             for l in np.asarray(losses):
                 counter.add(float(l))

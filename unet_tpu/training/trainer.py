@@ -125,7 +125,8 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
 
 def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
                     diffusion: Optional[GaussianDiffusion] = None,
-                    donate: bool = True, unroll: int = 1):
+                    donate: bool = True, unroll: int = 1,
+                    input_u8: bool = False):
     """Returns jitted `multi_step(state, batches) -> (state, losses)` that
     scans K train steps in ONE XLA program.
 
@@ -134,6 +135,17 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
     host) — the TPU analog of the reference's aspiration to run the whole
     loop without host round-trips (its loop syncs per step for the loss,
     train_unet.cu:4419).
+
+    input_u8=True takes batches as uint8 pixels and computes
+    u/127.5 - 1 on DEVICE, at 1/4 the host->device bytes.  For any
+    prepare_data-written .bin (which stores exactly that expression of
+    uint8 pixels) the reconstruction matches the stored f32 within 1 ulp
+    (XLA lowers the division as a reciprocal multiply) — noise four
+    orders of magnitude below the data's own uint8 quantization.  On
+    this machine's tunneled TPU the f32 chunk transfer costs ~17 ms/step
+    of wall time against a 16.9 ms device step; u8 cuts it to ~4.
+    cli/train.py probes the first chunk for exact u8-invertibility
+    before enabling it.
     """
     if diffusion is None:
         diffusion = GaussianDiffusion.create(
@@ -143,6 +155,8 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
 
     def one(state: TrainState, batch):
+        if input_u8:
+            batch = batch.astype(jnp.float32) / 127.5 - 1.0
         t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)

@@ -73,6 +73,15 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64,
                                                 flags="C_CONTIGUOUS")]
     lib.loader_next.argtypes = [ctypes.c_void_p, fp]
+    lib.loader_next_u8.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.loader_set_epoch.restype = ctypes.c_int
+    lib.loader_set_epoch.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -169,6 +178,118 @@ class NativeLoader:
         self._lib.loader_next(self._h, out)
         return out
 
+    def next_into(self, out: np.ndarray) -> None:
+        """Fill a preallocated C-contiguous (B, H, W, C) view — fp32
+        pixels, or uint8 round((v+1)*127.5) when `out` is uint8 (the
+        H2D byte encoding; single native pass, no numpy temporaries).
+        Lets the trainer assemble a multi-step chunk without a second
+        np.stack copy."""
+        if out.dtype == np.uint8:
+            self._lib.loader_next_u8(self._h, out)
+        else:
+            self._lib.loader_next(self._h, out)
+
+    def set_epoch(self, order: np.ndarray, flips: np.ndarray,
+                  start_batch: int = 0) -> None:
+        """Switch to indexed serving: `order` absolute image indices and
+        `flips` 0/1 bytes (both length per_epoch*B), serving from batch
+        `start_batch`.  Discards any prefetched sequential batch."""
+        order = np.ascontiguousarray(order, np.int64)
+        flips = np.ascontiguousarray(flips, np.uint8)
+        ok = self._lib.loader_set_epoch(self._h, order, flips,
+                                        order.size, start_batch)
+        if not ok:
+            raise ValueError(
+                f"bad epoch: {order.size} indices, batch "
+                f"{self.batch_size}, start {start_batch}")
+
     def __iter__(self):
         while True:
             yield self.next_batch()
+
+
+class NativeAugmentedLoader:
+    """`data_loader`-equivalent shuffle/flip/shard streaming with the C++
+    gather+transpose+flip running on the prefetch thread.
+
+    The rng LIVES IN PYTHON and consumes draws in exactly the order
+    data_loader (unet_tpu/data/dataset.py) does — one permutation per
+    epoch in shuffle mode, B flip draws per batch — so skip_batches
+    resume replay and cross-loader parity hold bit-for-bit; only the
+    pixel movement (random-access gather, CHW->HWC transpose, width
+    mirror) happens in native code.  The 20k-step training demo measured
+    the Python path at 26+ ms/step of host assembly against a 16.9 ms
+    device step; this keeps the TPU fed.
+    """
+
+    def __init__(self, path: str, batch_size: int, *, shuffle: bool = False,
+                 flip: bool = False, seed: int = 0, num_shards: int = 1,
+                 shard_index: int = 0, skip_batches: int = 0):
+        self._base = NativeLoader(path, batch_size)
+        self.batch_size = batch_size
+        self._n = self._base.n_images
+        self._rng = np.random.default_rng(seed)
+        self._shuffle, self._flip = shuffle, flip
+        self._num_shards, self._shard_index = num_shards, shard_index
+        shard_idx = np.arange(self._n)[shard_index::num_shards]
+        self._per_epoch = max(len(shard_idx) // batch_size, 1)
+        if shuffle:
+            # replay skipped epochs: permutation + its flip draws each
+            for _ in range(skip_batches // self._per_epoch):
+                self._rng.permutation(self._n)
+                self._skip_flip_draws(self._per_epoch)
+            self._start = skip_batches % self._per_epoch
+            self._seq_idx = None
+        else:
+            # sequential branch: ALL skipped flip draws consumed up
+            # front (data_loader's skip_flip_draws(skip_batches))
+            self._seq_idx = np.ascontiguousarray(shard_idx, np.int64)
+            self._skip_flip_draws(skip_batches)
+            self._start = skip_batches % self._per_epoch
+        self._first_epoch = True
+        self._left = 0
+
+    def _skip_flip_draws(self, k_batches: int) -> None:
+        if self._flip and k_batches:
+            self._rng.random((k_batches, self.batch_size))
+
+    def _flip_rows(self, rows: int) -> np.ndarray:
+        if not self._flip or rows == 0:
+            return np.zeros((rows, self.batch_size), np.uint8)
+        return (self._rng.random((rows, self.batch_size)) < 0.5) \
+            .astype(np.uint8)
+
+    def _install_epoch(self) -> None:
+        B, pe = self.batch_size, self._per_epoch
+        start = self._start if self._first_epoch else 0
+        if self._shuffle:
+            order = self._rng.permutation(self._n)[
+                self._shard_index::self._num_shards][:pe * B]
+            # full epoch of draws: data_loader burns the skipped-prefix
+            # rows too (skip_flip_draws(start) then per-batch draws)
+            flips = self._flip_rows(pe)
+        else:
+            order = self._seq_idx[:pe * B]
+            # sequential resume already consumed the prefix draws in
+            # __init__, so only the remaining rows draw here
+            flips = np.zeros((pe, B), np.uint8)
+            flips[start:] = self._flip_rows(pe - start)
+        self._base.set_epoch(np.ascontiguousarray(order, np.int64),
+                             flips.ravel(), start_batch=start)
+        self._left = pe - start
+        self._first_epoch = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._left == 0:
+            self._install_epoch()
+        self._left -= 1
+        return self._base.next_batch()
+
+    def next_into(self, out: np.ndarray) -> None:
+        if self._left == 0:
+            self._install_epoch()
+        self._left -= 1
+        self._base.next_into(out)
