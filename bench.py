@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -135,6 +136,17 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+    try:
+        # persistent compile cache (~5 min per big program on this
+        # 1-core host otherwise); must go through jax.config because
+        # the env-var route is dead once sitecustomize has imported jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from unet_tpu.config import TrainConfig, UnetConfig
     from unet_tpu.diffusion.gaussian import (GaussianDiffusion,

@@ -187,3 +187,28 @@ def test_fsdp_matches_replicated(tiny_setup):
 
     np.testing.assert_allclose(float(f1), float(l1), rtol=1e-5)
     np.testing.assert_allclose(float(f2), float(l2), rtol=1e-4)
+
+
+def test_fsdp_ema_sharded(tiny_setup):
+    """ema_rate > 0 under FSDP: the EMA tree is sharded like the params
+    (parallel/mesh.py state_sh) and follows the recursion."""
+    params, raw_batch = tiny_setup
+    tc = TrainConfig(batch_size=8, lr=1e-3, ema_rate=0.5)
+    mesh = pmesh.make_mesh(data=8)
+    step = pmesh.make_parallel_train_step(TINY, tc, mesh, fsdp=True,
+                                          example_params=params)
+    state = pmesh.shard_state(
+        trainer.init_state(jax.tree.map(jnp.array, params), ema_rate=0.5),
+        mesh, fsdp=True)
+    batch = pmesh.shard_batch(raw_batch, mesh)
+    state, loss = step(state, batch)
+    assert np.isfinite(float(jax.device_get(loss)))
+    # one step from ema0=params: ema = 0.5*params0 + 0.5*params1
+    p0 = jax.device_get(params)
+    p1 = jax.device_get(state.params)
+    ema = jax.device_get(state.ema)
+    for e, a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(p0),
+                       jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            e, 0.5 * np.asarray(a, np.float32) + 0.5 * np.asarray(b),
+            rtol=1e-5, atol=1e-7)
