@@ -376,9 +376,14 @@ def main(argv=None) -> None:
             if kbatch_next is None:
                 kbatch_next = assemble_chunk(k)
             state, losses = multi(state, kbatch_next)
-            # jax dispatch is async: assemble the NEXT chunk while the
-            # device runs this one, then block on the losses
-            kbatch_next = (assemble_chunk(k)
+            # Double-buffer the input: assemble AND upload the next chunk
+            # while the device runs this one, then block on the losses.
+            # Staging with device_put here (instead of letting the next
+            # multi() call transfer a numpy chunk after the loss readback)
+            # moves the whole H2D into the compute window — on the
+            # tunneled TPU that transfer is ~4 ms/step of wall time that
+            # would otherwise serialize with the step.
+            kbatch_next = (jax.device_put(assemble_chunk(k))
                            if it + k < tc.iterations else None)
             for l in np.asarray(losses):
                 counter.add(float(l))
