@@ -294,3 +294,112 @@ def test_train_cli_native_loader_matches_python(tmp_path):
         nat = iter(NativeLoader(data, 4, skip_batches=skip))
         for _ in range(8):
             np.testing.assert_array_equal(next(py), next(nat))
+
+
+def test_train_cli_microbatch_and_anneal(tmp_path):
+    """--microbatch and --lr_anneal_steps (parsed-but-dead in the
+    reference, train_unet.py:665-666) train end-to-end here."""
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.io import checkpoint as ckpt_io
+    from unet_tpu.config import UnetConfig
+
+    data = _tiny_bin(tmp_path)
+    outdir = os.path.join(tmp_path, "m")
+    cli_train.main(_parallel_cli_args(tmp_path, data, outdir) + [
+        "--num_devices", "1", "--microbatch", "1",
+        "--lr_anneal_steps", "10",
+    ])
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2,),
+                     channel_mult=(1, 2))
+    assert ckpt_io.load(os.path.join(outdir, "model_2.bin"), cfg).step == 2
+
+
+def test_train_cli_cfg_guidance_pipeline(tmp_path):
+    """Classifier-free guidance end to end: train with --class_cond +
+    --label_dropout, then sample with generate.py --class_label +
+    --guidance_scale (DDIM for speed)."""
+    from PIL import Image
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.cli import generate as cli_generate
+
+    ddir = os.path.join(tmp_path, "imgs")
+    os.makedirs(ddir)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(ddir, f"class{i % 2}_{i}.png"))
+    outdir = os.path.join(tmp_path, "m")
+    cli_train.main([
+        "--data_dir", ddir, "--image_size", "16", "--num_channels", "32",
+        "--channel_mult", "1,2", "--attention_resolutions", "8",
+        "--batch_size", "2", "--iterations", "2", "--log_interval", "1",
+        "--save_interval", "2", "--output_dir", outdir,
+        "--log_file", os.path.join(tmp_path, "l.txt"),
+        "--class_cond", "true", "--num_classes", "2",
+        "--label_dropout", "0.5",
+    ])
+    out_img = os.path.join(tmp_path, "sample.png")
+    cli_generate.main([
+        "--model_filename", os.path.join(outdir, "model_2.bin"),
+        "--output_filename", out_img, "--sampler", "ddim",
+        "--ddim_steps", "2", "--class_label", "1",
+        "--guidance_scale", "3.0",
+    ])
+    assert os.path.exists(out_img)
+
+
+def test_cli_rejects_cfg_combos(tmp_path):
+    import pytest
+    from unet_tpu.cli import train as cli_train
+
+    data = _tiny_bin(tmp_path)
+    base = _parallel_cli_args(tmp_path, data, os.path.join(tmp_path, "m"))
+    combos = [
+        ["--label_dropout", "0.5"],                      # no --class_cond
+        ["--label_dropout", "1.5", "--class_cond", "true"],
+        ["--microbatch", "3"],                           # 3 does not divide 2
+        ["--num_devices", "2", "--microbatch", "1"],
+        ["--lr_anneal_steps", "-1"],
+        ["--save_interval", "-1"],
+        ["--log_interval", "0"],
+    ]
+    for extra in combos:
+        with pytest.raises(SystemExit, match="train:"):
+            cli_train.main(base + extra)
+
+
+def test_cli_rejects_dataset_shape_mismatch(tmp_path):
+    """A .bin whose image size disagrees with --image_size must fail
+    loudly before training (silently training garbage otherwise)."""
+    import pytest
+    from unet_tpu.cli import train as cli_train
+
+    data = _tiny_bin(tmp_path)  # 16x16x3 images
+    with pytest.raises(SystemExit, match="holds 16x16x3"):
+        cli_train.main([  # default --image_size 64
+            "--data_file", data, "--batch_size", "2",
+            "--iterations", "2", "--num_devices", "1",
+            "--output_dir", os.path.join(tmp_path, "m"),
+            "--log_file", os.path.join(tmp_path, "l.txt")])
+
+
+def test_generate_cli_rejects_bad_guidance(tmp_path):
+    import pytest
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.cli import generate as cli_generate
+
+    # unconditional init checkpoint
+    init = os.path.join(tmp_path, "init.bin")
+    cli_train.main(["--init_model_only", "true",
+                    "--init_model_filename", init,
+                    "--image_size", "16", "--num_channels", "32",
+                    "--channel_mult", "1,2",
+                    "--attention_resolutions", "8"])
+    with pytest.raises(SystemExit):   # guidance without a label
+        cli_generate.main(["--model_filename", init,
+                           "--guidance_scale", "2.0"])
+    with pytest.raises(SystemExit):   # label on an unconditional model
+        cli_generate.main(["--model_filename", init,
+                           "--class_label", "0",
+                           "--sampler", "ddim", "--ddim_steps", "2"])

@@ -148,7 +148,8 @@ def test_grad_parity(small_cfg, rng):
             (pred - jnp.asarray(target.transpose(0, 2, 3, 1))) ** 2)
 
     jloss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
-    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-4)
+    np.testing.assert_allclose(float(jloss), float(loss.detach()),
+                               rtol=1e-4)
     jax_grads = ckpt_io.flatten_params(grads, small_cfg)
     # Reference end-to-end grad tolerance is 1e-2 (dev/unet_test.cu:2085);
     # we hold a tighter 1e-3.

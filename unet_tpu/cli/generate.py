@@ -29,14 +29,30 @@ def main(argv=None) -> None:
         sampler="ddpm",  # "ddpm" (998-step ancestral, the reference
         #                  path) or "ddim" (fast deterministic sampling)
         ddim_steps=50,
-        ddim_eta=0.0))
+        ddim_eta=0.0,
+        class_label=-1,      # >= 0: class-conditional sampling with this
+        #                      label (checkpoint must carry label_emb,
+        #                      i.e. trained with --class_cond)
+        guidance_scale=1.0))  # classifier-free guidance weight w:
+    #                           eps_u + w*(eps_c - eps_u); needs
+    #                           --class_label; train with --label_dropout
     args = parser.parse_args(argv)
     if not args.model_filename:
         parser.error("--model_filename is required")
     if args.sampler not in ("ddpm", "ddim"):
         parser.error(f"unknown sampler {args.sampler!r}")
+    if args.guidance_scale != 1.0 and args.class_label < 0:
+        parser.error("--guidance_scale needs --class_label")
 
     ckpt = ckpt_io.load(args.model_filename)
+    y = args.class_label if args.class_label >= 0 else None
+    if y is not None and "label_emb" not in ckpt.params:
+        parser.error(f"{args.model_filename} is unconditional (no "
+                     "label_emb); train with --class_cond for "
+                     "--class_label")
+    if y is not None and y >= ckpt.params["label_emb"].shape[0]:
+        parser.error(f"--class_label {y} out of range "
+                     f"(num_classes={ckpt.params['label_emb'].shape[0]})")
     if args.use_ema:
         if ckpt.ema is None:
             parser.error(f"{args.model_filename} carries no EMA weights "
@@ -50,10 +66,12 @@ def main(argv=None) -> None:
         sampler = make_ddim_sampler(
             cfg, diffusion, num_steps=args.ddim_steps, eta=args.ddim_eta,
             batch_size=args.batch_size,
-            compute_dtype=np.dtype(args.compute_dtype))
+            compute_dtype=np.dtype(args.compute_dtype),
+            y=y, guidance_scale=args.guidance_scale)
     else:
         sampler = make_sampler(cfg, diffusion, batch_size=args.batch_size,
-                               compute_dtype=np.dtype(args.compute_dtype))
+                               compute_dtype=np.dtype(args.compute_dtype),
+                               y=y, guidance_scale=args.guidance_scale)
     images = sampler(ckpt.params, jax.random.PRNGKey(args.seed))
     arr = to_uint8(images)  # (B, H, W, C)
 

@@ -11,8 +11,11 @@ Unifies the reference's two trainer entry points into one:
     --class_cond / --use_scale_shift_norm / --randomize
     (reference train_unet.py:671-693) and --init_model_only
     (reference train_unet.py:956-958: write the init checkpoint and exit).
-    (--ema_rate / --microbatch / --lr_anneal_steps are parsed but dead in
-    the reference and intentionally not reproduced.)
+    The reference parses --ema_rate / --microbatch / --lr_anneal_steps
+    but never uses them (train_unet.py:664-666); here all three are LIVE
+    features: parameter EMA, exact gradient accumulation, and linear lr
+    annealing.  --label_dropout adds classifier-free-guidance training
+    on top of --class_cond (sample with generate.py --guidance_scale).
 
 Resume is trajectory-faithful: checkpoints carry the optimizer step, the
 RNG seed (device keys are fold_in(seed, step) — unet_tpu/training/trainer
@@ -72,6 +75,20 @@ def defaults() -> dict:
         noise_schedule="linear",
         lr=1e-4,
         weight_decay=0.0,
+        lr_anneal_steps=0,         # >0 anneals lr linearly to 0 over this
+        #                            many steps (live version of the
+        #                            reference's dead flag,
+        #                            train_unet.py:666)
+        microbatch=0,              # >0 scans microbatches of this size
+        #                            with averaged grads — exact full-
+        #                            batch math at a fraction of the
+        #                            activation memory (the reference
+        #                            parses --microbatch but never uses
+        #                            it, train_unet.py:665)
+        label_dropout=0.0,         # classifier-free-guidance training:
+        #                            per-example prob of dropping the
+        #                            class label to the null label; needs
+        #                            --class_cond (Ho & Salimans 2022)
         ema_rate=0.0,              # >0 maintains an fp32 parameter EMA
         #                            and saves it in checkpoints (the
         #                            reference parses --ema_rate but never
@@ -148,11 +165,25 @@ def _reject_bad_combos(args) -> None:
             raise SystemExit(f"train: {msg}")
     bad(not 0.0 <= args.ema_rate < 1.0,
         "--ema_rate must be in [0, 1)")
+    bad(not 0.0 <= args.label_dropout < 1.0,
+        "--label_dropout must be in [0, 1)")
+    bad(args.label_dropout > 0.0 and not args.class_cond,
+        "--label_dropout needs --class_cond")
+    bad(args.lr_anneal_steps < 0, "--lr_anneal_steps must be >= 0")
+    bad(args.log_interval < 1, "--log_interval must be >= 1")
+    bad(args.save_interval < 0,
+        "--save_interval must be >= 0 (0 = never save)")
+    bad(args.microbatch < 0, "--microbatch must be >= 0")
+    bad(args.microbatch > 0 and args.batch_size % args.microbatch != 0,
+        f"--microbatch {args.microbatch} does not divide "
+        f"--batch_size {args.batch_size}")
+    bad(args.microbatch > 0 and args.host_rng,
+        "--microbatch and --host_rng cannot be combined")
     bad(args.host_rng and args.log_norms,
         "--host_rng and --log_norms cannot be combined")
     bad(args.log_norms and args.class_cond,
         "--log_norms and --class_cond cannot be combined")
-    for flag in ("host_rng", "log_norms", "class_cond"):
+    for flag in ("host_rng", "log_norms", "class_cond", "microbatch"):
         bad(args.num_devices > 1 and getattr(args, flag),
             f"--{flag} is only wired for single-device runs "
             "(--num_devices 1)")
@@ -177,7 +208,7 @@ def _reject_bad_combos(args) -> None:
         bad(n // model_axis < 1, "not enough devices for the model axis")
         bad(args.fsdp and n // model_axis < 2,
             "--fsdp needs >= 2 devices on the data axis")
-        for flag in ("host_rng", "log_norms", "class_cond"):
+        for flag in ("host_rng", "log_norms", "class_cond", "microbatch"):
             bad(getattr(args, flag),
                 f"--{flag} is only wired for single-device runs")
     bad(args.num_shards > 1 and args.data_dir,
@@ -197,6 +228,9 @@ def main(argv=None) -> None:
     num_classes = args.num_classes if args.class_cond else None
     tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
                      weight_decay=args.weight_decay,
+                     lr_anneal_steps=args.lr_anneal_steps,
+                     microbatch=args.microbatch,
+                     label_dropout=args.label_dropout,
                      ema_rate=args.ema_rate,
                      iterations=args.iterations,
                      log_interval=args.log_interval,
@@ -240,7 +274,7 @@ def main(argv=None) -> None:
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
     n_dev = args.num_devices or len(jax.devices())
-    if args.host_rng or args.log_norms or args.class_cond:
+    if args.host_rng or args.log_norms or args.class_cond or args.microbatch:
         n_dev = 1
     multi = host_rng = None
     if args.host_rng:
@@ -285,6 +319,21 @@ def main(argv=None) -> None:
             # H2D encoding (see assemble_chunk / make_multi_step).
             multi = "pending"
     native_chunk = None
+    if args.data_file:
+        # Loud mismatch check: a .bin whose images are not (image_size,
+        # image_size, in_channels) would otherwise feed wrongly-shaped
+        # batches into the compiled graph and train garbage (the
+        # reference has the same hole — train_unet.cu trusts the header).
+        hdr = dataset.BinDataset(args.data_file)
+        if ((hdr.height, hdr.width, hdr.channels)
+                != (cfg.image_size, cfg.image_size, cfg.in_channels)):
+            raise SystemExit(
+                f"train: {args.data_file} holds "
+                f"{hdr.height}x{hdr.width}x{hdr.channels} images but the "
+                f"model is configured for {cfg.image_size}x"
+                f"{cfg.image_size}x{cfg.in_channels} — pass --image_size "
+                f"{hdr.height} (and matching arch flags) or rebuild the "
+                "dataset with prepare_data --size")
     if args.data_dir:
         loader = dataset.image_dir_loader(
             args.data_dir, global_batch, size=args.image_size,
@@ -431,7 +480,7 @@ def main(argv=None) -> None:
                     kv_log.logkv("peak_mem_MiB", round(peak, 1))
             kv_log.dumpkvs()
             t_flush = time.perf_counter()
-        if it % tc.save_interval == 0:
+        if tc.save_interval > 0 and it % tc.save_interval == 0:
             path = os.path.join(args.output_dir, f"model_{it}.bin")
             ckpt_io.save(path, ckpt_io.Checkpoint(
                 params=jax.device_get(state.params), cfg=cfg,

@@ -79,6 +79,22 @@ class TrainConfig:
     # consumes it — here 0 < ema_rate < 1 actually maintains the average
     # and checkpoints it for sampling).
     ema_rate: float = 0.0
+    # Gradient accumulation: split each batch into microbatches of this
+    # size and scan over them, averaging grads — EXACTLY the full-batch
+    # step's math (mean loss is linear in the microbatch means), at
+    # 1/(B/microbatch) the activation memory.  0 = off.  The reference
+    # parses --microbatch but never uses it (train_unet.py:665).
+    microbatch: int = 0
+    # Linear learning-rate annealing: lr scales by
+    # (1 - completed_steps / lr_anneal_steps), clamped at 0 — the
+    # guided-diffusion schedule behind the reference's parsed-but-dead
+    # --lr_anneal_steps flag (train_unet.py:666).  0 = constant lr.
+    lr_anneal_steps: int = 0
+    # Classifier-free guidance training: probability of replacing each
+    # class label with the null label (-1, = unconditional) per example
+    # (Ho & Salimans 2022).  Only meaningful with class-conditional
+    # models; sample with generate.py --guidance_scale.
+    label_dropout: float = 0.0
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     remat: bool = False

@@ -24,14 +24,50 @@ from unet_tpu.diffusion.gaussian import GaussianDiffusion
 from unet_tpu.models import unet
 
 
+def make_model_fn(cfg: UnetConfig, *, compute_dtype=jnp.float32,
+                  y=None, guidance_scale: float = 1.0):
+    """`model_fn(params, x, t) -> eps` for the samplers.
+
+    y = None: unconditional (the reference surface).  y = (B,) labels:
+    class-conditional eps.  guidance_scale w != 1 additionally applies
+    classifier-free guidance (Ho & Salimans 2022):
+    eps = eps_uncond + w * (eps_cond - eps_uncond), computed as ONE
+    model call on a doubled batch ([y | null]) so the conditional and
+    unconditional branches share every conv's MXU tile — the TPU-native
+    shape of the two-forward trick (w=1 degenerates to the plain
+    conditional call, w=0 to unconditional)."""
+    def model_fn(params, x, t):
+        if y is None:
+            return unet.apply(params, cfg, x.astype(compute_dtype), t,
+                              compute_dtype=compute_dtype
+                              ).astype(jnp.float32)
+        yy = jnp.broadcast_to(jnp.asarray(y, jnp.int32), (x.shape[0],))
+        if guidance_scale == 1.0:
+            return unet.apply(params, cfg, x.astype(compute_dtype), t, yy,
+                              compute_dtype=compute_dtype
+                              ).astype(jnp.float32)
+        x2 = jnp.concatenate([x, x]).astype(compute_dtype)
+        t2 = jnp.concatenate([t, t])
+        y2 = jnp.concatenate([yy, jnp.full_like(yy, -1)])
+        eps2 = unet.apply(params, cfg, x2, t2, y2,
+                          compute_dtype=compute_dtype).astype(jnp.float32)
+        eps_c, eps_u = jnp.split(eps2, 2)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+    return model_fn
+
+
 def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
                 *, batch_size: int = 1, compute_dtype=jnp.float32,
-                x_init=None, num_steps=None):
+                x_init=None, num_steps=None, model_fn=None,
+                y=None, guidance_scale: float = 1.0):
     """Draw `batch_size` images.  Returns (B, H, W, C) fp32 in [-1, 1]-ish
     (unclipped, as the reference).  Jit-compatible; `cfg`, `batch_size` and
     `compute_dtype` are static under jit.  `num_steps` truncates the
     chain to its first iterations (t = T-1 downward) — partial
     denoising, used by tests and progressive-generation callers.
+    `y`/`guidance_scale` select class-conditional and classifier-free-
+    guided sampling (see make_model_fn); `model_fn` overrides the model
+    call entirely.
     """
     T = diffusion.num_timesteps
     S = cfg.image_size
@@ -45,13 +81,16 @@ def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
     else:
         x = x_init.astype(jnp.float32)
 
+    if model_fn is None:
+        model_fn = make_model_fn(cfg, compute_dtype=compute_dtype, y=y,
+                                 guidance_scale=guidance_scale)
+
     def body(i, carry):
         x, key = carry
         t = T - 1 - i  # t runs T-1, T-2, ..., 2
         key, nkey = jax.random.split(key)
-        eps = unet.apply(params, cfg, x.astype(compute_dtype),
-                         jnp.full((batch_size,), t, jnp.float32),
-                         compute_dtype=compute_dtype).astype(jnp.float32)
+        eps = model_fn(params, x,
+                       jnp.full((batch_size,), t, jnp.float32))
         beta_t = betas[t - 1]
         alpha_t = abar[t - 1]
         alpha_t_1 = abar[t - 2]
@@ -68,17 +107,19 @@ def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
 
 def make_sampler(cfg: UnetConfig, diffusion: GaussianDiffusion, *,
                  batch_size: int = 1, compute_dtype=jnp.float32,
-                 num_steps=None):
+                 num_steps=None, y=None, guidance_scale: float = 1.0):
     """Jitted `sample(params, key) -> (B, H, W, C)` closure."""
     return jax.jit(lambda params, key: ddpm_sample(
         params, cfg, diffusion, key, num_steps=num_steps,
-        batch_size=batch_size, compute_dtype=compute_dtype))
+        batch_size=batch_size, compute_dtype=compute_dtype,
+        y=y, guidance_scale=guidance_scale))
 
 
 def ddim_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
                 *, num_steps: int = 50, eta: float = 0.0,
                 batch_size: int = 1, compute_dtype=jnp.float32,
-                x_init=None, model_fn=None):
+                x_init=None, model_fn=None, y=None,
+                guidance_scale: float = 1.0):
     """DDIM sampler (Song et al. 2020) — `num_steps` model calls instead
     of the ancestral chain's T-2.  No reference analog (generate.py only
     runs the full DDPM chain); this is the fast-sampling surface a
@@ -123,10 +164,8 @@ def ddim_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
         x = x_init.astype(jnp.float32)
 
     if model_fn is None:
-        def model_fn(params, x, t):
-            return unet.apply(params, cfg, x.astype(compute_dtype), t,
-                              compute_dtype=compute_dtype
-                              ).astype(jnp.float32)
+        model_fn = make_model_fn(cfg, compute_dtype=compute_dtype, y=y,
+                                 guidance_scale=guidance_scale)
 
     def body(i, carry):
         x, key = carry
@@ -146,11 +185,13 @@ def ddim_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
 
 def make_ddim_sampler(cfg: UnetConfig, diffusion: GaussianDiffusion, *,
                       num_steps: int = 50, eta: float = 0.0,
-                      batch_size: int = 1, compute_dtype=jnp.float32):
+                      batch_size: int = 1, compute_dtype=jnp.float32,
+                      y=None, guidance_scale: float = 1.0):
     """Jitted DDIM `sample(params, key) -> (B, H, W, C)` closure."""
     return jax.jit(lambda params, key: ddim_sample(
         params, cfg, diffusion, key, num_steps=num_steps, eta=eta,
-        batch_size=batch_size, compute_dtype=compute_dtype))
+        batch_size=batch_size, compute_dtype=compute_dtype,
+        y=y, guidance_scale=guidance_scale))
 
 
 def make_parallel_sampler(cfg: UnetConfig, diffusion: GaussianDiffusion,

@@ -273,7 +273,16 @@ def apply(params, cfg: UnetConfig, x, t, y=None, *,
     emb = F.linear(F.silu(F.linear(emb, tm["l1"]["w"], tm["l1"]["b"])),
                    tm["l2"]["w"], tm["l2"]["b"])
     if y is not None:
-        emb = emb + params["label_emb"][y]
+        # y = -1 is the NULL label: no class embedding is added, making
+        # the forward identical to the unconditional y=None call.  This
+        # is the classifier-free-guidance convention (Ho & Salimans
+        # 2022): training drops labels to -1 with prob
+        # TrainConfig.label_dropout; sampling contrasts y vs -1.  The
+        # clamp keeps the gather in-bounds (a traced -1 index is NOT
+        # Python-style wraparound under jit).
+        lab = params["label_emb"][jnp.maximum(y, 0)]
+        emb = emb + jnp.where((y >= 0)[:, None], lab,
+                              jnp.zeros((), lab.dtype))
 
     h = S.space_to_depth(x) if use_s2d else x
     skips = []

@@ -147,7 +147,8 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
     hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
-                           eps=tc.eps, weight_decay=tc.weight_decay)
+                           eps=tc.eps, weight_decay=tc.weight_decay,
+                           anneal_steps=tc.lr_anneal_steps)
     loss_fn = trainer.make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype,
                                    tc.remat)
     x_shard = batch_sharding(mesh, spatial)

@@ -23,6 +23,21 @@ class AdamWParams(NamedTuple):
     beta2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # Linear lr anneal over this many steps (0 = constant).  The schedule
+    # is guided-diffusion's _anneal_lr (the semantics behind the
+    # reference's parsed-but-dead --lr_anneal_steps, train_unet.py:666):
+    # lr_t = lr * (1 - completed_steps / anneal), clamped at 0, where
+    # completed_steps counts optimizer steps already taken (so step 1
+    # runs at full lr).
+    anneal_steps: int = 0
+
+
+def _lr_at(step_f32, hp: "AdamWParams"):
+    """Effective lr for the 1-based step `step_f32` (traced f32)."""
+    if not hp.anneal_steps:
+        return hp.lr
+    frac_done = (step_f32 - 1.0) / float(hp.anneal_steps)
+    return hp.lr * jnp.maximum(0.0, 1.0 - frac_done)
 
 
 def init_moments(params):
@@ -43,11 +58,12 @@ def adamw_update_flat(flat, g_flat, m, v, step, hp: AdamWParams):
     step = step.astype(jnp.float32)
     bc1 = 1.0 - jnp.power(hp.beta1, step)
     bc2 = 1.0 - jnp.power(hp.beta2, step)
+    lr = _lr_at(step, hp)
     g = g_flat.astype(jnp.float32)
     m_new = hp.beta1 * m + (1.0 - hp.beta1) * g
     v_new = hp.beta2 * v + (1.0 - hp.beta2) * jnp.square(g)
-    p_new = flat - hp.lr * ((m_new / bc1) / (jnp.sqrt(v_new / bc2) + hp.eps)
-                            + hp.weight_decay * flat)
+    p_new = flat - lr * ((m_new / bc1) / (jnp.sqrt(v_new / bc2) + hp.eps)
+                         + hp.weight_decay * flat)
     return p_new, m_new, v_new
 
 
@@ -56,6 +72,7 @@ def adamw_update(params, grads, m, v, step, hp: AdamWParams):
     step = step.astype(jnp.float32)
     bc1 = 1.0 - jnp.power(hp.beta1, step)
     bc2 = 1.0 - jnp.power(hp.beta2, step)
+    lr = _lr_at(step, hp)
 
     def upd(p, g, m_, v_):
         g = g.astype(jnp.float32)
@@ -63,8 +80,8 @@ def adamw_update(params, grads, m, v, step, hp: AdamWParams):
         v_new = hp.beta2 * v_ + (1.0 - hp.beta2) * jnp.square(g)
         m_hat = m_new / bc1
         v_hat = v_new / bc2
-        p_new = p - hp.lr * (m_hat / (jnp.sqrt(v_hat) + hp.eps)
-                             + hp.weight_decay * p)
+        p_new = p - lr * (m_hat / (jnp.sqrt(v_hat) + hp.eps)
+                          + hp.weight_decay * p)
         return p_new, m_new, v_new
 
     flat_p, treedef = jax.tree.flatten(params)

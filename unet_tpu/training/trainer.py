@@ -87,6 +87,62 @@ def make_loss_fn(cfg: UnetConfig, diffusion: GaussianDiffusion,
     return loss_fn
 
 
+def _make_grad_fn(loss_fn, tc: TrainConfig):
+    """`(params, batch, t, noise, y) -> (loss, grads)`.
+
+    With tc.microbatch == 0 this is one value_and_grad call.  With
+    0 < microbatch < batch it scans microbatches of that size and
+    averages, which is EXACTLY the full-batch math (the mean MSE over B
+    examples is the mean of the microbatch means, and grad is linear),
+    at microbatch/B of the activation memory — the live version of the
+    reference's parsed-but-dead --microbatch flag (train_unet.py:665)."""
+    vg = jax.value_and_grad(loss_fn)
+    if not tc.microbatch:
+        return lambda params, batch, t, noise, y=None: \
+            vg(params, batch, t, noise, y)
+
+    def grad_fn(params, batch, t, noise, y=None):
+        mb = tc.microbatch
+        n = batch.shape[0] // mb
+        assert n * mb == batch.shape[0], (batch.shape[0], mb)
+        if n == 1:
+            return vg(params, batch, t, noise, y)
+
+        def split(a):
+            return a.reshape((n, mb) + a.shape[1:])
+
+        def body(carry, xs):
+            l_acc, g_acc = carry
+            b, tt, nn, yy = xs
+            loss, grads = vg(params, b, tt, nn, yy)
+            g_acc = jax.tree.map(
+                lambda acc, g: acc + g.astype(jnp.float32), g_acc, grads)
+            return (l_acc + loss, g_acc), None
+
+        zeros = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, jnp.float32), params)
+        xs = (split(batch), split(t), split(noise),
+              None if y is None else split(y))
+        (l_acc, g_acc), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zeros), xs)
+        inv = 1.0 / n
+        return l_acc * inv, jax.tree.map(lambda g: g * inv, g_acc)
+
+    return grad_fn
+
+
+def _drop_labels(y, t_key, rate: float):
+    """Per-example classifier-free-guidance label dropout: replace each
+    label with the null label -1 (see models/unet.apply) with prob
+    `rate`.  Keyed off a fold of the step's timestep key so enabling it
+    perturbs nothing else in the random trajectory."""
+    if y is None or rate <= 0.0:
+        return y
+    d_key = jax.random.fold_in(t_key, 0x1ABE1)
+    drop = jax.random.bernoulli(d_key, rate, y.shape)
+    return jnp.where(drop, jnp.asarray(-1, y.dtype), y)
+
+
 def make_train_step(cfg: UnetConfig, tc: TrainConfig,
                     diffusion: Optional[GaussianDiffusion] = None,
                     donate: bool = True):
@@ -98,12 +154,13 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
     hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
-                           eps=tc.eps, weight_decay=tc.weight_decay)
+                           eps=tc.eps, weight_decay=tc.weight_decay,
+                           anneal_steps=tc.lr_anneal_steps)
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
+    grad_fn = _make_grad_fn(loss_fn, tc)
 
     def step_with(state: TrainState, batch, t, noise, y=None):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, t, noise, y)
+        loss, grads = grad_fn(state.params, batch, t, noise, y)
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
@@ -116,7 +173,8 @@ def make_train_step(cfg: UnetConfig, tc: TrainConfig,
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        return step_with(state, batch, t, noise, y)
+        return step_with(state, batch, t, noise,
+                         _drop_labels(y, t_key, tc.label_dropout))
 
     donate_args = (0,) if donate else ()
     return (jax.jit(train_step, donate_argnums=donate_args),
@@ -151,8 +209,10 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
     hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
-                           eps=tc.eps, weight_decay=tc.weight_decay)
+                           eps=tc.eps, weight_decay=tc.weight_decay,
+                           anneal_steps=tc.lr_anneal_steps)
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
+    grad_fn = _make_grad_fn(loss_fn, tc)
 
     def one(state: TrainState, batch):
         if input_u8:
@@ -161,8 +221,7 @@ def make_multi_step(cfg: UnetConfig, tc: TrainConfig,
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, t, noise)
+        loss, grads = grad_fn(state.params, batch, t, noise)
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
@@ -194,16 +253,17 @@ def make_train_step_aux(cfg: UnetConfig, tc: TrainConfig,
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
     hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
-                           eps=tc.eps, weight_decay=tc.weight_decay)
+                           eps=tc.eps, weight_decay=tc.weight_decay,
+                           anneal_steps=tc.lr_anneal_steps)
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
+    grad_fn = _make_grad_fn(loss_fn, tc)
 
     def train_step(state: TrainState, batch):
         t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, t, noise)
+        loss, grads = grad_fn(state.params, batch, t, noise)
         aux = {"loss": loss,
                "grad_norm": tree_sq_norm(grads),
                "param_norm": tree_sq_norm(state.params)}
@@ -283,7 +343,8 @@ def make_flat_multi_step(cfg: UnetConfig, tc: TrainConfig, unravel,
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
     hp = optim.AdamWParams(lr=tc.lr, beta1=tc.beta1, beta2=tc.beta2,
-                           eps=tc.eps, weight_decay=tc.weight_decay)
+                           eps=tc.eps, weight_decay=tc.weight_decay,
+                           anneal_steps=tc.lr_anneal_steps)
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
     from jax.flatten_util import ravel_pytree
 
