@@ -61,14 +61,15 @@ def verify_pallas_kernels() -> int:
         dout = jnp.asarray(rng.standard_normal((B, T, C))
                            .astype(np.float32)).astype(jnp.bfloat16)
 
-        F.set_attn_mode("xla")
-        try:
+        prev_mode = F._ATTN_MODE  # restore the user's UNET_TPU_ATTN, not
+        F.set_attn_mode("xla")    # "auto", so later bench passes measure
+        try:                      # under the requested mode
             ref_out = jax.jit(lambda q: F.qkv_attention(q, NH))(qkv)
             ref_g = jax.jit(jax.grad(lambda q: jnp.sum(
                 (F.qkv_attention(q, NH) * dout)
                 .astype(jnp.float32))))(qkv)
         finally:
-            F.set_attn_mode("auto")
+            F.set_attn_mode(prev_mode)
         out = jax.jit(lambda q: qkv_attention_fused(q, NH))(qkv)
         g = jax.jit(jax.grad(lambda q: jnp.sum(
             (qkv_attention_fused(q, NH) * dout)

@@ -80,9 +80,11 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     ema = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) * 0.9, params)
     path = os.path.join(tmp_path, "ema.bin")
     ckpt_io.save(path, ckpt_io.Checkpoint(
-        params=params, cfg=CFG, batch_size=2, step=5, ema=ema))
+        params=params, cfg=CFG, batch_size=2, step=5, ema=ema,
+        ema_rate=0.9999))
     back = ckpt_io.load(path)
     assert back.ema is not None
+    assert back.ema_rate == np.float32(0.9999)  # header[39] roundtrip
     for a, e in zip(jax.tree.leaves(back.ema), jax.tree.leaves(ema)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
     # a file saved WITHOUT ema still loads ema=None
@@ -124,7 +126,10 @@ def test_ema_cli_train_resume_and_generate(tmp_path):
         "--log_file", os.path.join(tmp_path, "b1.txt"),
         "--iterations", "2", "--save_interval", "2",
         "--output_dir", out_b])
-    cli_train.main(base + [
+    # resume WITHOUT re-passing --ema_rate: the rate travels in the
+    # checkpoint (header[39]) and averaging must continue, not freeze
+    base_no_rate = [a for a in base if a not in ("--ema_rate", "0.5")]
+    cli_train.main(base_no_rate + [
         "--log_file", os.path.join(tmp_path, "b2.txt"),
         "--model_weights", os.path.join(out_b, "model_2.bin"),
         "--iterations", "4", "--save_interval", "2",
@@ -146,3 +151,30 @@ def test_ema_cli_train_resume_and_generate(tmp_path):
                        "--output_filename", out_ddim, "--use_ema", "true",
                        "--sampler", "ddim", "--ddim_steps", "7"])
     assert os.path.exists(out_ddim)
+
+
+def test_ema_resume_without_rate_from_old_file(tmp_path):
+    """A pre-header[39] checkpoint (EMA present, rate slot zero) cannot
+    silently freeze the average: resume without --ema_rate must refuse."""
+    import pytest
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.data import dataset
+
+    data = os.path.join(tmp_path, "train.bin")
+    imgs = (np.random.default_rng(0)
+            .standard_normal((8, 3, 16, 16)).astype(np.float32) * 0.3)
+    dataset.write_bin(data, imgs)
+    params = _init_params()
+    old = os.path.join(tmp_path, "old.bin")
+    ckpt_io.save(old, ckpt_io.Checkpoint(   # ema_rate defaults to 0.0
+        params=params, cfg=CFG, batch_size=4, step=2,
+        ema=jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)))
+    with pytest.raises(SystemExit, match="ema_rate"):
+        cli_train.main(["--data_file", data, "--image_size", "16",
+                        "--num_channels", "32", "--channel_mult", "1,2",
+                        "--attention_resolutions", "8,4",
+                        "--batch_size", "4",
+                        "--num_devices", "1", "--iterations", "4",
+                        "--model_weights", old,
+                        "--log_file", os.path.join(tmp_path, "l.txt"),
+                        "--output_dir", os.path.join(tmp_path, "m")])

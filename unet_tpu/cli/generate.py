@@ -45,6 +45,13 @@ def main(argv=None) -> None:
         parser.error("--guidance_scale needs --class_label")
 
     ckpt = ckpt_io.load(args.model_filename)
+    diffusion = GaussianDiffusion.create(
+        named_beta_schedule("linear", ckpt.cfg.max_period))
+    if args.sampler == "ddim":
+        T = diffusion.num_timesteps
+        if not 1 <= args.ddim_steps <= T - 1:
+            parser.error(f"--ddim_steps must be in [1, {T - 1}] for this "
+                         f"model's {T}-step schedule")
     y = args.class_label if args.class_label >= 0 else None
     if y is not None and "label_emb" not in ckpt.params:
         parser.error(f"{args.model_filename} is unconditional (no "
@@ -59,8 +66,6 @@ def main(argv=None) -> None:
                          "(train with --ema_rate > 0)")
         ckpt.params = ckpt.ema
     cfg = ckpt.cfg
-    diffusion = GaussianDiffusion.create(
-        named_beta_schedule("linear", cfg.max_period))
     if args.sampler == "ddim":
         from unet_tpu.diffusion.sampler import make_ddim_sampler
         sampler = make_ddim_sampler(

@@ -30,6 +30,7 @@ Run: python -m unet_tpu.cli.train --data_file data/train.bin [...]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -181,6 +182,8 @@ def _reject_bad_combos(args) -> None:
         "--microbatch and --host_rng cannot be combined")
     bad(args.host_rng and args.log_norms,
         "--host_rng and --log_norms cannot be combined")
+    bad(args.host_rng and args.class_cond,
+        "--host_rng and --class_cond cannot be combined")
     bad(args.log_norms and args.class_cond,
         "--log_norms and --class_cond cannot be combined")
     for flag in ("host_rng", "log_norms", "class_cond", "microbatch"):
@@ -248,6 +251,20 @@ def main(argv=None) -> None:
         adam_m, adam_v = ckpt.adam_m, ckpt.adam_v
         host_rng_state = ckpt.host_rng_state
         ema_prev = ckpt.ema
+        if ema_prev is not None and args.ema_rate == 0.0:
+            # Without this, resuming an EMA run that forgot --ema_rate
+            # would silently freeze the average (and keep re-saving the
+            # stale one): the rate travels in the checkpoint (header[39]).
+            if ckpt.ema_rate > 0.0:
+                args.ema_rate = ckpt.ema_rate
+                tc = dataclasses.replace(tc, ema_rate=ckpt.ema_rate)
+                print(f"resuming EMA at its checkpointed rate "
+                      f"{ckpt.ema_rate:g}")
+            else:
+                raise SystemExit(
+                    "train: checkpoint carries EMA weights but no rate "
+                    "(written before header[39] existed) — pass "
+                    "--ema_rate to keep averaging")
         if ckpt.rng_seed is not None:
             seed = ckpt.rng_seed
         print(f"loaded {args.model_weights} (step {start_step})")
@@ -319,7 +336,7 @@ def main(argv=None) -> None:
             # H2D encoding (see assemble_chunk / make_multi_step).
             multi = "pending"
     native_chunk = None
-    if args.data_file:
+    if not args.data_dir:
         # Loud mismatch check: a .bin whose images are not (image_size,
         # image_size, in_channels) would otherwise feed wrongly-shaped
         # batches into the compiled graph and train garbage (the
@@ -491,7 +508,8 @@ def main(argv=None) -> None:
                 host_rng_state=(host_rng.get_state()
                                 if host_rng is not None else None),
                 ema=(jax.device_get(state.ema)
-                     if state.ema is not None else None)),
+                     if state.ema is not None else None),
+                ema_rate=tc.ema_rate),
                 num_classes)
             text_log.log(f"saved {path}")
 

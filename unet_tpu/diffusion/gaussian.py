@@ -66,11 +66,12 @@ class GaussianDiffusion:
             # NaN.  The reference's cosine path clamps
             # (train_unet.py:829-855); the linear path has no valid
             # reading, so refuse it.
+            rng = ("empty" if betas32.size == 0 else
+                   f"range [{betas32.min():.4g}, {betas32.max():.4g}]")
             raise ValueError(
-                "beta schedule must lie strictly in (0, 1); got range "
-                f"[{betas32.min():.4g}, {betas32.max():.4g}] over "
-                f"{betas32.size} steps (linear schedule needs "
-                "num_timesteps >= 21)")
+                "beta schedule must lie strictly in (0, 1); got "
+                f"{rng} over {betas32.size} steps (linear schedule "
+                "needs num_timesteps >= 21)")
         alphas_cumprod = np.cumprod(1.0 - betas32, axis=0)
         return GaussianDiffusion(
             betas=jnp.asarray(betas32),

@@ -37,6 +37,9 @@ blob would make our files unloadable there.  Extension fields:
     appended after the AdamW moments and before any MT19937 blob
     (TrainConfig.ema_rate; the reference parses --ema_rate but never
     maintains one, train_unet.py:664).
+  * header[39]: the EMA decay rate as raw float32 bits (present iff
+    header[38] == 1), so a resumed run keeps averaging at the original
+    rate without the user re-passing --ema_rate.
 On load, a reference curandState blob (has_rng=1 from CUDA) is ignored.
 
 Layout transforms happen only here: pytree arrays are TPU-native
@@ -192,6 +195,7 @@ class Checkpoint:
     loader_pos: int = 0               # dataloader cursor, in batches
     host_rng_state: Optional[np.ndarray] = None  # (625,) uint32 MT19937
     ema: Optional[object] = None      # fp32 EMA pytree, params structure
+    ema_rate: float = 0.0             # decay rate the EMA was trained at
 
 
 def save(path: str, ckpt: Checkpoint,
@@ -217,6 +221,8 @@ def save(path: str, ckpt: Checkpoint,
     header[14] = ckpt.loader_pos
     header[15] = 0 if ckpt.host_rng_state is None else 1
     header[38] = 0 if ckpt.ema is None else 1
+    if ckpt.ema is not None:
+        header[39] = np.float32(ckpt.ema_rate).view(np.int32)
     _arch_to_header(header, cfg, num_classes)
     with open(path, "wb") as f:
         f.write(header.tobytes())
@@ -324,6 +330,7 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
         # reference checkpoints (params + moments, step=0, fresh RNG).
         # No such checkpoints ship in this repo; re-save to upgrade.
         step = rng_seed = loader_pos = host_rng_state = ema = None
+        ema_rate = 0.0
         if is_ext:
             step = int(header[10])
             rng_seed = int(header[11]) if header[13] == 1 else None
@@ -332,6 +339,7 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
                 ema = unflatten_params(
                     np.frombuffer(f.read(n * 4), dtype=np.float32), cfg,
                     num_classes)
+                ema_rate = float(header[39:40].view(np.float32)[0])
             if header[15] == 1:
                 host_rng_state = np.frombuffer(
                     f.read(HOST_RNG_WORDS * 4), dtype=np.uint32).copy()
@@ -340,4 +348,5 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
     return Checkpoint(params=params, cfg=cfg, batch_size=int(header[1]),
                       step=step or 0, adam_m=adam_m, adam_v=adam_v,
                       rng_seed=rng_seed, loader_pos=loader_pos or 0,
-                      host_rng_state=host_rng_state, ema=ema)
+                      host_rng_state=host_rng_state, ema=ema,
+                      ema_rate=ema_rate)

@@ -90,7 +90,8 @@ def resblock_apply(p, x, emb, *, num_groups=32, eps=1e-5,
                                 precision=F._mm_precision(h))
 
         def conv_skip(h, c):
-            return S.conv1x1_s2d(h, c["w"], c["b"])
+            return S.conv1x1_s2d(h, c["w"], c["b"],
+                                 precision=F._mm_precision(h))
 
         expand_c = S.tile_phases
     else:

@@ -338,9 +338,10 @@ def qkv_attention(qkv, num_heads):
     if (use_kernel and qkv.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"):
         from unet_tpu.ops.pallas import attention as pattn
-        # supports() also rejects T the query-block grid cannot tile
-        # exactly (e.g. T=576): the kernel has no remainder handling and
-        # would silently drop the tail rows.
+        # supports() = T % 8 == 0: any such T has a divisor query block
+        # (worst case 8, e.g. T=576 -> 192), and the kernel asserts
+        # divisibility internally — it has no remainder handling and a
+        # non-divisor block would silently drop the tail rows.
         if pattn.supports(qkv.shape[1]):
             return pattn.qkv_attention_fused(qkv, num_heads)
     B, T, C3 = qkv.shape

@@ -145,7 +145,7 @@ def conv2d_s2d(x, w, b, *, precision=None):
     return out + tile_phases(b)
 
 
-def conv1x1_s2d(x, w, b):
+def conv1x1_s2d(x, w, b, *, precision=None):
     """1x1 pixel-space conv (= per-pixel matmul) on s2d activations:
     each phase block multiplies the same (Cin, Cout) matrix.
     w: (1, 1, Cin, Cout)."""
@@ -153,7 +153,7 @@ def conv1x1_s2d(x, w, b):
     Cin = C4 // 4
     m = w.reshape(Cin, -1)
     xb = x.reshape(B, Hp, Wp, 4, Cin)
-    y = jnp.einsum("bhwpc,cd->bhwpd", xb, m)
+    y = jnp.einsum("bhwpc,cd->bhwpd", xb, m, precision=precision)
     return y.reshape(B, Hp, Wp, -1) + tile_phases(b)
 
 
