@@ -112,16 +112,24 @@ def _bwd_kernel(qkv_q_ref, qkv_kv_ref, dout_ref, dq_ref, dkv_ref,
         dkv_ref[0] = dkv_acc_ref[...].astype(dkv_ref.dtype)
 
 
-def _pick_block_q(T: int) -> int:
-    """Largest query block <= 256 that tiles T exactly (0 if none).
+def _pick_block_q(T: int, max_block: int = 256) -> int:
+    """Largest query block <= max_block that tiles T exactly (0 if none).
 
     The grids below launch T // block_q query blocks with no remainder
     handling, so a non-divisor block would silently drop the tail rows —
     callers must route T with _pick_block_q(T) == 0 to the XLA path
-    (see supports())."""
-    if T <= 256:
+    (see supports()).
+
+    max_block is direction-specific.  Forward uses the whole T (<= 1024):
+    its only live score temporaries are s/p, and one grid step per batch
+    row removes the per-block pipeline bubbles (trace-measured 0.75 ->
+    0.60 ms at B=32,T=1024,C=192).  Backward keeps 256: it holds four
+    (TQ, T) fp32 temporaries plus the (T, 2C) accumulator, and TQ=512
+    already exceeds the 16 MB scoped-VMEM limit at the reference core
+    shape (B=4,T=1024,C=256: 17.53 MB)."""
+    if T <= max_block:
         return T
-    for d in range(256, 7, -8):
+    for d in range(max_block, 7, -8):
         if T % d == 0:
             return d
     return 0
@@ -137,7 +145,7 @@ def _fwd_call(qkv, num_heads):
     C = C3 // 3
     HS = C // num_heads
     scale = 1.0 / math.sqrt(HS)
-    TQ = _pick_block_q(T)
+    TQ = _pick_block_q(T, max_block=1024)
     assert TQ > 0 and T % TQ == 0, \
         f"fused attention needs a divisor block for T={T} (see supports())"
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
