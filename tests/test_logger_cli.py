@@ -253,6 +253,11 @@ def test_train_cli_fsdp(tmp_path):
     _run_parallel_cli(tmp_path, ["--num_devices", "8", "--fsdp", "true"])
 
 
+def test_train_cli_multidevice_microbatch(tmp_path):
+    _run_parallel_cli(tmp_path, ["--num_devices", "8",
+                                 "--microbatch", "1"])
+
+
 def test_train_cli_tensor_parallel(tmp_path):
     _run_parallel_cli(tmp_path, ["--num_devices", "8",
                                  "--tensor_parallel", "2"])
@@ -359,7 +364,6 @@ def test_cli_rejects_cfg_combos(tmp_path):
         ["--label_dropout", "0.5"],                      # no --class_cond
         ["--label_dropout", "1.5", "--class_cond", "true"],
         ["--microbatch", "3"],                           # 3 does not divide 2
-        ["--num_devices", "2", "--microbatch", "1"],
         ["--lr_anneal_steps", "-1"],
         ["--save_interval", "-1"],
         ["--log_interval", "0"],

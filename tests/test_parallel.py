@@ -84,6 +84,46 @@ def test_parallel_train_step_runs(tiny_setup):
     assert np.isfinite(float(loss2))
 
 
+def test_parallel_microbatch_matches_full_batch(tiny_setup):
+    """Gradient accumulation under the mesh: the DP step with
+    microbatch=1 (per-device) produces the same loss as the full-batch
+    DP step for the same state — microbatch composes with parallelism
+    (tc.batch_size and tc.microbatch are both per-device; mesh.py scales
+    the scan split by the data axis)."""
+    params, batch = tiny_setup
+    mesh = pmesh.make_mesh(data=8)
+    batch16 = np.concatenate([batch, batch[::-1]])  # global batch 16
+
+    def run(tc):
+        p = jax.tree.map(jnp.array, params)
+        step_fn = pmesh.make_parallel_train_step(TINY, tc, mesh)
+        state = pmesh.shard_state(trainer.init_state(p, seed=11), mesh)
+        state, loss = step_fn(state, pmesh.shard_batch(batch16, mesh))
+        return float(loss), jax.device_get(state.params)
+
+    l_full, p_full = run(TrainConfig(batch_size=2))
+    l_micro, p_micro = run(TrainConfig(batch_size=2, microbatch=1))
+    np.testing.assert_allclose(l_micro, l_full, rtol=1e-6)
+    # params after one AdamW step: reassociation-of-the-mean noise only
+    for a, b in zip(jax.tree.leaves(p_micro), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_parallel_microbatch_fsdp_runs(tiny_setup):
+    """Microbatch accumulation with FSDP-sharded params/moments executes
+    and yields a finite loss (the f32 grad accumulator inherits the
+    parameter sharding through the scan carry)."""
+    params, batch = tiny_setup
+    tc = TrainConfig(batch_size=2, microbatch=1)
+    mesh = pmesh.make_mesh(data=8)
+    step_fn = pmesh.make_parallel_train_step(TINY, tc, mesh, fsdp=True,
+                                             example_params=params)
+    state = pmesh.shard_state(trainer.init_state(params), mesh, fsdp=True)
+    batch16 = np.concatenate([batch, batch[::-1]])
+    state, loss = step_fn(state, pmesh.shard_batch(batch16, mesh))
+    assert np.isfinite(float(loss))
+
+
 def test_spatial_sharding_runs(tiny_setup):
     # 4x2 mesh: batch over data, activation height over model (GSPMD halo
     # exchange through the convs).

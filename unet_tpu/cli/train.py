@@ -180,13 +180,16 @@ def _reject_bad_combos(args) -> None:
         f"--batch_size {args.batch_size}")
     bad(args.microbatch > 0 and args.host_rng,
         "--microbatch and --host_rng cannot be combined")
+    # --microbatch composes with every parallel mode: batch_size and
+    # microbatch are both per-device, and the mesh step scales the scan's
+    # split by the data axis (parallel/mesh.py make_parallel_train_step).
     bad(args.host_rng and args.log_norms,
         "--host_rng and --log_norms cannot be combined")
     bad(args.host_rng and args.class_cond,
         "--host_rng and --class_cond cannot be combined")
     bad(args.log_norms and args.class_cond,
         "--log_norms and --class_cond cannot be combined")
-    for flag in ("host_rng", "log_norms", "class_cond", "microbatch"):
+    for flag in ("host_rng", "log_norms", "class_cond"):
         bad(args.num_devices > 1 and getattr(args, flag),
             f"--{flag} is only wired for single-device runs "
             "(--num_devices 1)")
@@ -211,7 +214,7 @@ def _reject_bad_combos(args) -> None:
         bad(n // model_axis < 1, "not enough devices for the model axis")
         bad(args.fsdp and n // model_axis < 2,
             "--fsdp needs >= 2 devices on the data axis")
-        for flag in ("host_rng", "log_norms", "class_cond", "microbatch"):
+        for flag in ("host_rng", "log_norms", "class_cond"):
             bad(getattr(args, flag),
                 f"--{flag} is only wired for single-device runs")
     bad(args.num_shards > 1 and args.data_dir,
@@ -291,7 +294,7 @@ def main(argv=None) -> None:
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
     n_dev = args.num_devices or len(jax.devices())
-    if args.host_rng or args.log_norms or args.class_cond or args.microbatch:
+    if args.host_rng or args.log_norms or args.class_cond:
         n_dev = 1
     multi = host_rng = None
     if args.host_rng:

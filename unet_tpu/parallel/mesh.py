@@ -20,6 +20,7 @@ whose state exceeds one chip's HBM.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -152,6 +153,15 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
     loss_fn = trainer.make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype,
                                    tc.remat)
     x_shard = batch_sharding(mesh, spatial)
+    # tc.microbatch is PER-DEVICE (as tc.batch_size is); the scan inside
+    # _make_grad_fn splits the GLOBAL batch, so scale by the data axis.
+    # Each global microbatch keeps the batch-dim sharding (its size is a
+    # multiple of the data axis), so the accumulation is exactly the
+    # single-device math on every shard.
+    grad_tc = (dataclasses.replace(
+        tc, microbatch=tc.microbatch * mesh.shape["data"])
+        if tc.microbatch else tc)
+    grad_fn = trainer._make_grad_fn(loss_fn, grad_tc)
 
     def train_step(state: trainer.TrainState, batch):
         batch = jax.lax.with_sharding_constraint(batch, x_shard)
@@ -159,8 +169,7 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, t, noise)
+        loss, grads = grad_fn(state.params, batch, t, noise)
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
