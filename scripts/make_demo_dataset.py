@@ -70,7 +70,12 @@ def write_crops(dest: str, n: int, size: int, seed: int) -> int:
         crop = img.crop((x0, y0, x0 + side, y0 + side))
         if side != size:
             crop = crop.resize((size, size), Image.BICUBIC)
-        crop.save(os.path.join(dest, f"{i:06d}_{name}.png"))
+        # class-prefix-first naming: `--data_dir crops --class_cond true`
+        # derives labels from the prefix before '_' (the torch trainer's
+        # convention, reference train_unet.py:506-510), so the same crop
+        # dir powers both the unconditional and the class-conditional/CFG
+        # training demos
+        crop.save(os.path.join(dest, f"{name}_{i:06d}.png"))
     return n
 
 

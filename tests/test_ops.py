@@ -207,6 +207,6 @@ def test_mse(rng):
     aj = jnp.asarray(a.detach().numpy())
     out = jax.jit(F.mse_loss)(aj, jnp.asarray(y))
     # f32 sum-reduction order differs between XLA and torch
-    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(float(out), float(ref.detach()), rtol=1e-5)
     grad = jax.jit(jax.grad(F.mse_loss))(aj, jnp.asarray(y))
     np.testing.assert_allclose(np.asarray(grad), a.grad.numpy(), atol=1e-7)
