@@ -61,9 +61,12 @@ def verify_pallas_kernels() -> int:
         dout = jnp.asarray(rng.standard_normal((B, T, C))
                            .astype(np.float32)).astype(jnp.bfloat16)
 
-        prev_mode = F._ATTN_MODE  # restore the user's UNET_TPU_ATTN, not
-        F.set_attn_mode("xla")    # "auto", so later bench passes measure
-        try:                      # under the requested mode
+        # restore the user's UNET_TPU_ATTN (fall back to auto if the env
+        # var held an unrecognized value — set_attn_mode would assert)
+        prev_mode = (F._ATTN_MODE if F._ATTN_MODE in ("auto", "fused",
+                                                      "xla") else "auto")
+        F.set_attn_mode("xla")
+        try:
             ref_out = jax.jit(lambda q: F.qkv_attention(q, NH))(qkv)
             ref_g = jax.jit(jax.grad(lambda q: jnp.sum(
                 (F.qkv_attention(q, NH) * dout)

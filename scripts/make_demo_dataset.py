@@ -53,8 +53,18 @@ def source_images():
     return out
 
 
-def write_crops(dest: str, n: int, size: int, seed: int) -> int:
-    """Random scale-jittered square crops, bicubic-resized to `size`."""
+def write_crops(dest: str, n: int, size: int, seed: int,
+                class_prefix: bool = False) -> int:
+    """Random scale-jittered square crops, bicubic-resized to `size`.
+
+    class_prefix=True names crops `<source>_<i>.png` so
+    `--data_dir crops --class_cond true` derives labels from the prefix
+    before '_' (the torch trainer's convention, reference
+    train_unet.py:506-510) — used by the CFG training demo.  The default
+    index-first naming keeps the sorted file order class-INTERLEAVED,
+    which the unconditional `.bin` demo depends on (prepare_data packs
+    files in sorted order; a class-grouped .bin would feed thousands of
+    consecutive same-photo batches to a no-shuffle run)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -70,12 +80,8 @@ def write_crops(dest: str, n: int, size: int, seed: int) -> int:
         crop = img.crop((x0, y0, x0 + side, y0 + side))
         if side != size:
             crop = crop.resize((size, size), Image.BICUBIC)
-        # class-prefix-first naming: `--data_dir crops --class_cond true`
-        # derives labels from the prefix before '_' (the torch trainer's
-        # convention, reference train_unet.py:506-510), so the same crop
-        # dir powers both the unconditional and the class-conditional/CFG
-        # training demos
-        crop.save(os.path.join(dest, f"{name}_{i:06d}.png"))
+        stem = f"{name}_{i:06d}" if class_prefix else f"{i:06d}_{name}"
+        crop.save(os.path.join(dest, stem + ".png"))
     return n
 
 

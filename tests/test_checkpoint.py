@@ -30,6 +30,7 @@ def test_checkpoint_roundtrip(small_cfg, rng, tmp_path):
     assert loaded.step == 42
     assert loaded.batch_size == 32
     assert loaded.rng_seed == 7
+    assert loaded.noise_schedule == "linear"  # header[40] default
     np.testing.assert_array_equal(
         ckpt_io.flatten_params(loaded.params, small_cfg), flat)
     assert loaded.adam_m is not None
@@ -57,6 +58,25 @@ def test_checkpoint_header_reference_layout(small_cfg, tmp_path):
     assert raw[8] == 0 and raw[9] == 0
     body = np.fromfile(path, dtype=np.float32, offset=256 * 4)
     np.testing.assert_array_equal(body, flat)
+
+
+def test_checkpoint_noise_schedule_roundtrip(small_cfg, tmp_path):
+    """header[40] records the beta schedule so generate.py samples with
+    the tables the model was trained on (the reference hardcodes linear,
+    generate.py:66-75)."""
+    from tests.test_model import make_params_and_flat
+    params, _ = make_params_and_flat(small_cfg)
+    path = os.path.join(tmp_path, "cos.bin")
+    ckpt_io.save(path, ckpt_io.Checkpoint(
+        params=params, cfg=small_cfg, batch_size=4,
+        noise_schedule="cosine"))
+    assert ckpt_io.load(path, small_cfg).noise_schedule == "cosine"
+    # a reference-style file (no EXT marker) has no record -> None
+    raw = np.fromfile(path, dtype=np.int32).copy()
+    raw[12] = 0  # clear EXT_MAGIC
+    noext = os.path.join(tmp_path, "noext.bin")
+    raw.tofile(noext)
+    assert ckpt_io.load(noext, small_cfg).noise_schedule is None
 
 
 def test_load_python_init_style_file(small_cfg, tmp_path):

@@ -388,6 +388,27 @@ def test_cli_rejects_dataset_shape_mismatch(tmp_path):
             "--log_file", os.path.join(tmp_path, "l.txt")])
 
 
+def test_generate_uses_checkpointed_noise_schedule(tmp_path):
+    """A cosine-trained checkpoint samples with cosine tables without the
+    user re-passing the schedule (header[40]); --noise_schedule overrides."""
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.cli import generate as cli_generate
+    from unet_tpu.io import checkpoint as ckpt_io
+
+    init = os.path.join(tmp_path, "cos.bin")
+    cli_train.main(["--init_model_only", "true",
+                    "--init_model_filename", init,
+                    "--noise_schedule", "cosine",
+                    "--image_size", "16", "--num_channels", "32",
+                    "--channel_mult", "1,2",
+                    "--attention_resolutions", "8"])
+    assert ckpt_io.load(init).noise_schedule == "cosine"
+    out = os.path.join(tmp_path, "s.png")
+    cli_generate.main(["--model_filename", init, "--output_filename", out,
+                       "--sampler", "ddim", "--ddim_steps", "2"])
+    assert os.path.exists(out)
+
+
 def test_generate_cli_rejects_bad_guidance(tmp_path):
     import pytest
     from unet_tpu.cli import train as cli_train

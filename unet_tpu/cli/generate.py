@@ -33,9 +33,13 @@ def main(argv=None) -> None:
         class_label=-1,      # >= 0: class-conditional sampling with this
         #                      label (checkpoint must carry label_emb,
         #                      i.e. trained with --class_cond)
-        guidance_scale=1.0))  # classifier-free guidance weight w:
-    #                           eps_u + w*(eps_c - eps_u); needs
-    #                           --class_label; train with --label_dropout
+        guidance_scale=1.0,  # classifier-free guidance weight w:
+        #                      eps_u + w*(eps_c - eps_u); needs
+        #                      --class_label; train with --label_dropout
+        noise_schedule=""))  # "" = the schedule recorded in the
+    #                          checkpoint (header[40]; "linear" for
+    #                          reference-written files); pass
+    #                          linear/cosine to override old checkpoints
     args = parser.parse_args(argv)
     if not args.model_filename:
         parser.error("--model_filename is required")
@@ -43,10 +47,13 @@ def main(argv=None) -> None:
         parser.error(f"unknown sampler {args.sampler!r}")
     if args.guidance_scale != 1.0 and args.class_label < 0:
         parser.error("--guidance_scale needs --class_label")
+    if args.noise_schedule not in ("", "linear", "cosine"):
+        parser.error(f"unknown schedule {args.noise_schedule!r}")
 
     ckpt = ckpt_io.load(args.model_filename)
+    schedule = args.noise_schedule or ckpt.noise_schedule or "linear"
     diffusion = GaussianDiffusion.create(
-        named_beta_schedule("linear", ckpt.cfg.max_period))
+        named_beta_schedule(schedule, ckpt.cfg.max_period))
     if args.sampler == "ddim":
         T = diffusion.num_timesteps
         if not 1 <= args.ddim_steps <= T - 1:

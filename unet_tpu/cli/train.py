@@ -270,6 +270,13 @@ def main(argv=None) -> None:
                     "--ema_rate to keep averaging")
         if ckpt.rng_seed is not None:
             seed = ckpt.rng_seed
+        if (ckpt.noise_schedule is not None
+                and ckpt.noise_schedule != args.noise_schedule):
+            # trajectory faithfulness: q_sample must use the schedule the
+            # run was trained with (recorded in header[40])
+            print(f"resuming with the checkpointed noise schedule "
+                  f"{ckpt.noise_schedule!r} (not {args.noise_schedule!r})")
+            args.noise_schedule = ckpt.noise_schedule
         print(f"loaded {args.model_weights} (step {start_step})")
     else:
         params = jax.jit(lambda k: unet.init(k, cfg, num_classes))(
@@ -280,7 +287,8 @@ def main(argv=None) -> None:
     if args.init_model_only:
         # reference train_unet.py:956-958
         ckpt_io.save(args.init_model_filename, ckpt_io.Checkpoint(
-            params=params, cfg=cfg, batch_size=tc.batch_size),
+            params=params, cfg=cfg, batch_size=tc.batch_size,
+            noise_schedule=args.noise_schedule),
             num_classes)
         print(f"wrote init checkpoint to {args.init_model_filename}")
         return
@@ -512,7 +520,8 @@ def main(argv=None) -> None:
                                 if host_rng is not None else None),
                 ema=(jax.device_get(state.ema)
                      if state.ema is not None else None),
-                ema_rate=tc.ema_rate),
+                ema_rate=tc.ema_rate,
+                noise_schedule=args.noise_schedule),
                 num_classes)
             text_log.log(f"saved {path}")
 

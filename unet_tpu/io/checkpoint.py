@@ -40,6 +40,11 @@ blob would make our files unloadable there.  Extension fields:
   * header[39]: the EMA decay rate as raw float32 bits (present iff
     header[38] == 1), so a resumed run keeps averaging at the original
     rate without the user re-passing --ema_rate.
+  * header[40]: noise schedule the model was trained with (1 = linear,
+    2 = cosine; 0 = absent -> linear), so generate.py samples with the
+    right alphas_cumprod tables without the user re-passing
+    --noise_schedule.  The reference records nothing and hardcodes the
+    linear schedule at sampling (generate.py:66-75).
 On load, a reference curandState blob (has_rng=1 from CUDA) is ignored.
 
 Layout transforms happen only here: pytree arrays are TPU-native
@@ -196,6 +201,9 @@ class Checkpoint:
     host_rng_state: Optional[np.ndarray] = None  # (625,) uint32 MT19937
     ema: Optional[object] = None      # fp32 EMA pytree, params structure
     ema_rate: float = 0.0             # decay rate the EMA was trained at
+    # beta schedule trained with; None on load = the file predates
+    # header[40] / was written by the reference (no record)
+    noise_schedule: Optional[str] = "linear"
 
 
 def save(path: str, ckpt: Checkpoint,
@@ -223,6 +231,7 @@ def save(path: str, ckpt: Checkpoint,
     header[38] = 0 if ckpt.ema is None else 1
     if ckpt.ema is not None:
         header[39] = np.float32(ckpt.ema_rate).view(np.int32)
+    header[40] = {"linear": 1, "cosine": 2}[ckpt.noise_schedule]
     _arch_to_header(header, cfg, num_classes)
     with open(path, "wb") as f:
         f.write(header.tobytes())
@@ -279,7 +288,7 @@ def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,
         chunks.append(a.ravel())
     return Checkpoint(params=unflatten_params(np.concatenate(chunks), cfg,
                                               num_classes),
-                      cfg=cfg, batch_size=0)
+                      cfg=cfg, batch_size=0, noise_schedule=None)
 
 
 def load(path: str, cfg: Optional[UnetConfig] = None,
@@ -331,7 +340,10 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
         # No such checkpoints ship in this repo; re-save to upgrade.
         step = rng_seed = loader_pos = host_rng_state = ema = None
         ema_rate = 0.0
+        noise_schedule = None
         if is_ext:
+            noise_schedule = {1: "linear", 2: "cosine"}.get(
+                int(header[40]))
             step = int(header[10])
             rng_seed = int(header[11]) if header[13] == 1 else None
             loader_pos = int(header[14])
@@ -349,4 +361,4 @@ def load(path: str, cfg: Optional[UnetConfig] = None,
                       step=step or 0, adam_m=adam_m, adam_v=adam_v,
                       rng_seed=rng_seed, loader_pos=loader_pos or 0,
                       host_rng_state=host_rng_state, ema=ema,
-                      ema_rate=ema_rate)
+                      ema_rate=ema_rate, noise_schedule=noise_schedule)

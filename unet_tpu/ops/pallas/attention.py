@@ -145,7 +145,11 @@ def _fwd_call(qkv, num_heads):
     C = C3 // 3
     HS = C // num_heads
     scale = 1.0 / math.sqrt(HS)
-    TQ = _pick_block_q(T, max_block=1024)
+    # Whole-T block when it fits: cap the (TQ, T) fp32 score temporaries
+    # at 4 MB each (TQ*T <= 2^20) so T > 1024 shapes keep compiling
+    # inside the 16 MB scoped-VMEM limit instead of regressing vs the
+    # old 256-row cap.
+    TQ = _pick_block_q(T, max_block=min(1024, (1 << 20) // T))
     assert TQ > 0 and T % TQ == 0, \
         f"fused attention needs a divisor block for T={T} (see supports())"
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,

@@ -154,14 +154,15 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
                                    tc.remat)
     x_shard = batch_sharding(mesh, spatial)
     # tc.microbatch is PER-DEVICE (as tc.batch_size is); the scan inside
-    # _make_grad_fn splits the GLOBAL batch, so scale by the data axis.
-    # Each global microbatch keeps the batch-dim sharding (its size is a
-    # multiple of the data axis), so the accumulation is exactly the
-    # single-device math on every shard.
+    # _make_grad_fn splits the GLOBAL batch, so scale by the data axis
+    # and split interleaved (shards=) so each device's own rows appear
+    # in every microbatch — no per-step resharding, and the averaged
+    # accumulation is exactly the full-batch math.
     grad_tc = (dataclasses.replace(
         tc, microbatch=tc.microbatch * mesh.shape["data"])
         if tc.microbatch else tc)
-    grad_fn = trainer._make_grad_fn(loss_fn, grad_tc)
+    grad_fn = trainer._make_grad_fn(loss_fn, grad_tc,
+                                    shards=mesh.shape["data"])
 
     def train_step(state: trainer.TrainState, batch):
         batch = jax.lax.with_sharding_constraint(batch, x_shard)

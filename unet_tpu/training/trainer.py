@@ -87,7 +87,7 @@ def make_loss_fn(cfg: UnetConfig, diffusion: GaussianDiffusion,
     return loss_fn
 
 
-def _make_grad_fn(loss_fn, tc: TrainConfig):
+def _make_grad_fn(loss_fn, tc: TrainConfig, shards: int = 1):
     """`(params, batch, t, noise, y) -> (loss, grads)`.
 
     With tc.microbatch == 0 this is one value_and_grad call.  With
@@ -95,7 +95,15 @@ def _make_grad_fn(loss_fn, tc: TrainConfig):
     averages, which is EXACTLY the full-batch math (the mean MSE over B
     examples is the mean of the microbatch means, and grad is linear),
     at microbatch/B of the activation memory — the live version of the
-    reference's parsed-but-dead --microbatch flag (train_unet.py:665)."""
+    reference's parsed-but-dead --microbatch flag (train_unet.py:665).
+
+    shards > 1 (the mesh path): the batch dim is sharded over `shards`
+    devices, so microbatches are split INTERLEAVED — each device
+    contributes its own contiguous rows to every microbatch — keeping
+    every scanned slice on the devices that already hold it (a
+    contiguous split would put microbatch 0 entirely on the first
+    devices and force GSPMD to reshard per step).  Any equal-size
+    disjoint regrouping leaves the mean-of-means identical."""
     vg = jax.value_and_grad(loss_fn)
     if not tc.microbatch:
         return lambda params, batch, t, noise, y=None: \
@@ -105,11 +113,17 @@ def _make_grad_fn(loss_fn, tc: TrainConfig):
         mb = tc.microbatch
         n = batch.shape[0] // mb
         assert n * mb == batch.shape[0], (batch.shape[0], mb)
+        assert mb % shards == 0, (mb, shards)
         if n == 1:
             return vg(params, batch, t, noise, y)
 
         def split(a):
-            return a.reshape((n, mb) + a.shape[1:])
+            if shards == 1:
+                return a.reshape((n, mb) + a.shape[1:])
+            per = mb // shards
+            return (a.reshape((shards, n, per) + a.shape[1:])
+                    .swapaxes(0, 1)
+                    .reshape((n, mb) + a.shape[1:]))
 
         def body(carry, xs):
             l_acc, g_acc = carry
