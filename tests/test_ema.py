@@ -153,6 +153,32 @@ def test_ema_cli_train_resume_and_generate(tmp_path):
     assert os.path.exists(out_ddim)
 
 
+def test_ema_resume_explicit_zero_drops_ema(tmp_path):
+    """Resuming with an explicit --ema_rate 0 turns EMA off (the flag is
+    the user's instruction); later checkpoints carry no EMA."""
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.data import dataset
+
+    data = os.path.join(tmp_path, "train.bin")
+    imgs = (np.random.default_rng(0)
+            .standard_normal((8, 3, 16, 16)).astype(np.float32) * 0.3)
+    dataset.write_bin(data, imgs)
+    base = ["--data_file", data, "--image_size", "16",
+            "--num_channels", "32", "--batch_size", "4",
+            "--num_devices", "1", "--log_interval", "1",
+            "--output_dir", os.path.join(tmp_path, "m")]
+    cli_train.main(base + ["--ema_rate", "0.5", "--iterations", "2",
+                           "--save_interval", "2",
+                           "--log_file", os.path.join(tmp_path, "a.txt")])
+    cli_train.main(base + ["--ema_rate", "0", "--iterations", "4",
+                           "--save_interval", "2",
+                           "--model_weights",
+                           os.path.join(tmp_path, "m", "model_2.bin"),
+                           "--log_file", os.path.join(tmp_path, "b.txt")])
+    final = ckpt_io.load(os.path.join(tmp_path, "m", "model_4.bin"))
+    assert final.ema is None
+
+
 def test_ema_resume_without_rate_from_old_file(tmp_path):
     """A pre-header[39] checkpoint (EMA present, rate slot zero) cannot
     silently freeze the average: resume without --ema_rate must refuse."""

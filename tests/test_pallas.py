@@ -63,6 +63,21 @@ def test_attention_block_q_always_tiles():
     assert pattn._pick_block_q(576) == 192
 
 
+def test_attention_fwd_block_cap_always_tiles():
+    """The forward path's VMEM-capped block choice must find a valid
+    8-aligned divisor for EVERY supported T, with score temporaries
+    capped at 4 MB (a mod-8-misaligned cap once made T=1600 crash at
+    trace time and T=1296 pick a sublane-misaligned 81-row block)."""
+    from unet_tpu.ops.pallas import attention as pattn
+    for T in range(8, 8193, 8):
+        cap = min(1024, ((1 << 20) // T) & ~7)
+        tq = pattn._pick_block_q(T, max_block=cap)
+        assert tq > 0 and T % tq == 0, (T, tq)
+        assert tq == T or tq % 8 == 0, (T, tq)
+        if T > 1024:
+            assert tq * T <= (1 << 20), (T, tq)
+
+
 @pytest.mark.parametrize("B,T,C,NH", [(2, 64, 64, 2), (2, 256, 192, 6),
                                       (1, 1024, 192, 6), (1, 576, 64, 2),
                                       (1, 1024, 256, 8)])

@@ -159,6 +159,16 @@ def test_flat_multi_step_matches_pytree(small_cfg, rng):
                          for a in jax.tree.leaves(p2_tree)])
     np.testing.assert_allclose(p1, p2, atol=2e-6)
 
+    # the flat path honors tc.microbatch like every other step builder
+    fstate3, unravel3 = trainer.flatten_state(params, seed=5)
+    fms_mb = trainer.make_flat_multi_step(
+        small_cfg, TrainConfig(batch_size=B, lr=1e-3, eps=1e-3,
+                               microbatch=1),
+        unravel3, donate=False)
+    fstate3, losses3 = fms_mb(fstate3, batches)
+    np.testing.assert_allclose(np.asarray(losses3), np.asarray(losses2),
+                               rtol=1e-5)
+
 
 def test_cross_framework_rng_trajectory(small_cfg, rng):
     """Bit-identical RNG streams on both sides (the reference's dev/rand.h

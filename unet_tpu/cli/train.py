@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 import time
 
 import jax
@@ -171,6 +172,8 @@ def _reject_bad_combos(args) -> None:
     bad(args.label_dropout > 0.0 and not args.class_cond,
         "--label_dropout needs --class_cond")
     bad(args.lr_anneal_steps < 0, "--lr_anneal_steps must be >= 0")
+    bad(args.noise_schedule not in ("linear", "cosine"),
+        f"unknown --noise_schedule {args.noise_schedule!r}")
     bad(args.log_interval < 1, "--log_interval must be >= 1")
     bad(args.save_interval < 0,
         "--save_interval must be >= 0 (0 = never save)")
@@ -196,8 +199,6 @@ def _reject_bad_combos(args) -> None:
     bad(args.class_cond and not args.data_dir,
         "--class_cond needs --data_dir (labels come from image filename "
         "prefixes, reference train_unet.py:506-510)")
-    bad(args.class_cond and args.host_rng,
-        "--class_cond and --host_rng cannot be combined")
     bad(args.data_dir and args.shuffle,
         "--shuffle applies to .bin streams; use --randomize with "
         "--data_dir")
@@ -254,11 +255,18 @@ def main(argv=None) -> None:
         adam_m, adam_v = ckpt.adam_m, ckpt.adam_v
         host_rng_state = ckpt.host_rng_state
         ema_prev = ckpt.ema
+        argv_flags = sys.argv[1:] if argv is None else argv
+        ema_explicit = "--ema_rate" in argv_flags
         if ema_prev is not None and args.ema_rate == 0.0:
-            # Without this, resuming an EMA run that forgot --ema_rate
-            # would silently freeze the average (and keep re-saving the
-            # stale one): the rate travels in the checkpoint (header[39]).
-            if ckpt.ema_rate > 0.0:
+            if ema_explicit:
+                # explicit --ema_rate 0: the user is turning EMA off
+                ema_prev = None
+                print("dropping the checkpoint's EMA (--ema_rate 0)")
+            elif ckpt.ema_rate > 0.0:
+                # Without this, resuming an EMA run that forgot
+                # --ema_rate would silently freeze the average (and keep
+                # re-saving the stale one): the rate travels in the
+                # checkpoint (header[39]).
                 args.ema_rate = ckpt.ema_rate
                 tc = dataclasses.replace(tc, ema_rate=ckpt.ema_rate)
                 print(f"resuming EMA at its checkpointed rate "
@@ -267,7 +275,8 @@ def main(argv=None) -> None:
                 raise SystemExit(
                     "train: checkpoint carries EMA weights but no rate "
                     "(written before header[39] existed) — pass "
-                    "--ema_rate to keep averaging")
+                    "--ema_rate to keep averaging, or --ema_rate 0 to "
+                    "drop the EMA")
         if ckpt.rng_seed is not None:
             seed = ckpt.rng_seed
         if (ckpt.noise_schedule is not None

@@ -42,7 +42,9 @@ def make_model_fn(cfg: UnetConfig, *, compute_dtype=jnp.float32,
                               compute_dtype=compute_dtype
                               ).astype(jnp.float32)
         yy = jnp.broadcast_to(jnp.asarray(y, jnp.int32), (x.shape[0],))
-        if guidance_scale == 1.0:
+        if guidance_scale == 0.0:   # degenerates to unconditional: one
+            yy = jnp.full_like(yy, -1)  # null-label call, not a doubled
+        if guidance_scale in (0.0, 1.0):  # batch multiplied by zero
             return unet.apply(params, cfg, x.astype(compute_dtype), t, yy,
                               compute_dtype=compute_dtype
                               ).astype(jnp.float32)

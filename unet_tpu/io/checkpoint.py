@@ -231,7 +231,9 @@ def save(path: str, ckpt: Checkpoint,
     header[38] = 0 if ckpt.ema is None else 1
     if ckpt.ema is not None:
         header[39] = np.float32(ckpt.ema_rate).view(np.int32)
-    header[40] = {"linear": 1, "cosine": 2}[ckpt.noise_schedule]
+    # None = "no record" (a Checkpoint loaded from a reference-written
+    # .bin or a .pt); writing 0 keeps load(save(ckpt)) round-trippable.
+    header[40] = {None: 0, "linear": 1, "cosine": 2}[ckpt.noise_schedule]
     _arch_to_header(header, cfg, num_classes)
     with open(path, "wb") as f:
         f.write(header.tobytes())

@@ -148,8 +148,11 @@ def _fwd_call(qkv, num_heads):
     # Whole-T block when it fits: cap the (TQ, T) fp32 score temporaries
     # at 4 MB each (TQ*T <= 2^20) so T > 1024 shapes keep compiling
     # inside the 16 MB scoped-VMEM limit instead of regressing vs the
-    # old 256-row cap.
-    TQ = _pick_block_q(T, max_block=min(1024, (1 << 20) // T))
+    # old 256-row cap.  The cap must be rounded DOWN to a multiple of 8:
+    # _pick_block_q steps by 8 from max_block, so an unaligned cap would
+    # scan only values congruent to it mod 8 and miss every valid block
+    # (e.g. T=1600 -> cap 655 -> no divisor found at all).
+    TQ = _pick_block_q(T, max_block=min(1024, ((1 << 20) // T) & ~7))
     assert TQ > 0 and T % TQ == 0, \
         f"fused attention needs a divisor block for T={T} (see supports())"
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,

@@ -362,16 +362,19 @@ def make_flat_multi_step(cfg: UnetConfig, tc: TrainConfig, unravel,
     loss_fn = make_loss_fn(cfg, diffusion, tc.compute_jnp_dtype, tc.remat)
     from jax.flatten_util import ravel_pytree
 
-    def flat_loss(flat, batch, t, noise):
-        return loss_fn(unravel(flat), batch, t, noise)
+    def flat_loss(flat, batch, t, noise, y=None):
+        return loss_fn(unravel(flat), batch, t, noise, y)
+
+    # microbatch accumulation works on the flat vector exactly as on the
+    # pytree (every step builder honors tc.microbatch)
+    grad_fn = _make_grad_fn(flat_loss, tc)
 
     def one(state: FlatState, batch):
         t_key, n_key = step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        loss, g_flat = jax.value_and_grad(flat_loss)(
-            state.flat, batch, t, noise)
+        loss, g_flat = grad_fn(state.flat, batch, t, noise)
         new_step = state.step + 1
         flat, m, v = optim.adamw_update_flat(
             state.flat, g_flat, state.m, state.v, new_step, hp)
