@@ -50,7 +50,11 @@ def verify_pallas_kernels() -> int:
         nonlocal total
         e = np.asarray(expected, np.float32)
         atol = tol * max(1.0, float(np.abs(e).max()))
-        n = validate_result(actual, e, name=name, atol=atol)
+        # raise_on_fault=False: a faulting kernel must surface as a
+        # nonzero pallas_verify_faults in the JSON line, not abort the
+        # bench after the headline was already measured
+        n = validate_result(actual, e, name=name, atol=atol,
+                            raise_on_fault=False)
         total += n
         print(f"verify {name}: {n} faults (atol={atol:.3g})",
               file=sys.stderr)
@@ -171,8 +175,6 @@ def main() -> None:
         named_beta_schedule("linear", cfg.max_period))
 
     S = cfg.image_size
-    batches = [jnp.asarray(rng.standard_normal(
-        (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(8)]
 
     def bench_step(dtype_name, K=10):
         # production path: K steps scanned into one XLA program
@@ -215,11 +217,16 @@ def main() -> None:
     f32_3pass_ms = f32_highest_ms = None
     if not args.no_f32 and args.dtype == "bfloat16":
         from unet_tpu.ops import functional as F
+        from jax import lax
+        prev_prec = {lax.Precision.HIGHEST: "highest",
+                     lax.Precision.HIGH: "high",
+                     lax.Precision.DEFAULT: "default"}[F._F32_PRECISION]
         F.set_f32_precision("high")
         try:
             f32_3pass_ms = bench_step("float32")
         finally:
-            F.set_f32_precision("highest")
+            F.set_f32_precision(prev_prec)  # restore the env-selected
+            #                                 mode, not hardcoded highest
         print(f"train_step float32 (3-pass): {f32_3pass_ms:.2f} ms",
               file=sys.stderr)
         if args.secondary and not args.no_secondary:
@@ -233,6 +240,9 @@ def main() -> None:
         print(f"train_step {other}: {other_ms:.2f} ms", file=sys.stderr)
 
         from unet_tpu.utils.benchmark import benchmark
+        # input-rotation batches (secondary-only; ~12.6 MB of H2D)
+        batches = [jnp.asarray(rng.standard_normal(
+            (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(8)]
         fwd = jax.jit(lambda p, x, t: unet.apply(
             p, cfg, x, t, compute_dtype=jnp.dtype(args.dtype)))
         t = jnp.zeros((B,), jnp.float32)

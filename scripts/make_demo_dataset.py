@@ -68,7 +68,11 @@ def write_crops(dest: str, n: int, size: int, seed: int,
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    sources = source_images()
+    sources = [(name, img) for name, img in source_images()
+               if min(img.size) >= size]
+    if not sources:
+        raise SystemExit(f"make_demo_dataset: no source photo has a "
+                         f"short side >= {size}px")
     os.makedirs(dest, exist_ok=True)
     for i in range(n):
         name, img = sources[rng.integers(len(sources))]

@@ -92,7 +92,8 @@ def main() -> None:
         state, ms_fn, cs = traced
         with jax.profiler.trace(args.trace):
             state, losses = ms_fn(state, cs[0])
-            jax.block_until_ready(losses)
+            _drain(losses)  # block_until_ready returns early on axon;
+            #                 stop_trace before completion truncates it
         print(f"trace written to {args.trace}", file=sys.stderr)
 
     print(results)

@@ -239,8 +239,8 @@ def analyze(rows, conv_map, K, peak_tfs=PEAK_BF16_TFS, hbm=HBM_GBS):
         flops_meas = rate_tfs * 1e12 * t_us * 1e-6
         bytes_acc = flops_meas / oi if oi > 0 else 0.0
         convs = conv_map.get(name, [])
-        costs = [c for c in (conv_cost(ci) for ci in convs)
-                 if c is not None]
+        raw_costs = [conv_cost(ci) for ci in convs]
+        costs = [c for c in raw_costs if c is not None]
         flops_an = sum(c[0] for c in costs)
         # ceiling: flop-weighted mean of per-conv fill factors (see the
         # module docstring for the per-kind fill model)
@@ -273,8 +273,9 @@ def analyze(rows, conv_map, K, peak_tfs=PEAK_BF16_TFS, hbm=HBM_GBS):
             shapes=";".join(
                 "x".join(map(str, ci["out"])) + f"|w{ci['window']}"
                 + (f"|K{c[2]}|O{c[1]}|{c[4]}" if c else "")
-                for ci, c in zip(convs, costs + [None] * max(
-                    0, len(convs) - len(costs)))),
+                # raw_costs keeps Nones in place so a mid-list
+                # unparseable conv cannot shift later labels
+                for ci, c in zip(convs, raw_costs)),
             ceiling_tfs=ceiling_tfs, bound=bound,
             bound_us=t_bound_us,
             pct_of_bound=100.0 * t_bound_us / t_us,
@@ -321,6 +322,10 @@ def main() -> None:
               f"{d['ceiling_tfs']:6.1f} {d['bound']:>5s} "
               f"{d['pct_of_bound']:5.1f}  {d['shapes'][:70]}")
     if args.csv:
+        if not table:
+            raise SystemExit("roofline: no conv fusions found in the "
+                             "trace — wrong --reuse dir or an xprof "
+                             "category rename?")
         import csv as _csv
         with open(args.csv, "w", newline="") as f:
             w = _csv.DictWriter(f, fieldnames=list(table[0].keys()))

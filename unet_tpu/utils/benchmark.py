@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import contextlib
+import sys
 import time
 from typing import Sequence
 
@@ -76,10 +77,13 @@ class ValidationError(AssertionError):
 
 def validate_result(actual, expected, name: str = "tensor",
                     atol: float = 1e-4, print_first: int = 5,
-                    max_faults: int = 10, verbose: bool = False) -> int:
+                    max_faults: int = 10, verbose: bool = False,
+                    raise_on_fault: bool = True) -> int:
     """Reference-style elementwise validation (dev/common.h:57-86):
-    prints the first few element pairs, counts |a-e| > atol faults,
-    raises after max_faults.  Returns the fault count."""
+    prints the first few element pairs and counts |a-e| > atol faults.
+    Raises ValidationError on ANY fault (listing at most the first
+    max_faults offenders) unless raise_on_fault=False, in which case the
+    fault count is returned for the caller to report."""
     a = np.asarray(actual, np.float32).ravel()
     e = np.asarray(expected, np.float32).ravel()
     if a.size != e.size:
@@ -94,9 +98,11 @@ def validate_result(actual, expected, name: str = "tensor",
         idx = np.nonzero(bad)[0][:max_faults]
         lines = "\n".join(
             f"  [{i}] actual={a[i]:.7f} expected={e[i]:.7f}" for i in idx)
-        raise ValidationError(
-            f"{name}: {n_bad}/{a.size} elements beyond atol={atol}\n"
-            + lines)
+        msg = (f"{name}: {n_bad}/{a.size} elements beyond atol={atol}\n"
+               + lines)
+        if raise_on_fault:
+            raise ValidationError(msg)
+        print(msg, file=sys.stderr)
     return n_bad
 
 
