@@ -58,7 +58,7 @@ def test_training_trajectory_parity(small_cfg, rng):
         loss = torch.mean((out - noise) ** 2)
         loss.backward()
         opt.step()
-        torch_losses.append(float(loss))
+        torch_losses.append(float(loss.detach()))
 
     # --- jax side ---
     tc = TrainConfig(batch_size=B, lr=1e-3, weight_decay=0.01)
@@ -207,7 +207,7 @@ def test_cross_framework_rng_trajectory(small_cfg, rng):
         loss = torch.mean((out - noise) ** 2)
         loss.backward()
         opt.step()
-        torch_losses.append(float(loss))
+        torch_losses.append(float(loss.detach()))
 
     # jax side: same draws from the native MT19937
     try:
@@ -266,7 +266,7 @@ def test_training_trajectory_parity_100_steps(rng):
         loss = torch.mean((out - noise) ** 2)
         loss.backward()
         opt.step()
-        torch_losses.append(float(loss))
+        torch_losses.append(float(loss.detach()))
 
     tc = TrainConfig(batch_size=B, lr=1e-3, weight_decay=0.01)
     _, step_with = trainer.make_train_step(cfg, tc, diffusion,
