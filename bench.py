@@ -279,6 +279,23 @@ def main() -> None:
     print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s "
           f"= {1 / b1_s:.3f} samples/s", file=sys.stderr)
 
+    # DDIM-50 B=1: the fast-sampling serving path (diffusion/sampler.py
+    # ddim_sample; no reference analog — generate.py only runs the full
+    # ancestral chain).  Same latency surface as the B=1 DDPM metric.
+    from unet_tpu.diffusion.sampler import make_ddim_sampler
+    ddim1 = make_ddim_sampler(cfg, diffusion, num_steps=50, batch_size=1,
+                              compute_dtype=jnp.dtype(args.dtype))
+    imgs = ddim1(params, jax.random.PRNGKey(0))  # compile
+    _drain(imgs)
+    t0 = time.perf_counter()
+    reps = 5
+    for i in range(reps):
+        imgs = ddim1(params, jax.random.PRNGKey(1 + i))
+    _drain(imgs)
+    ddim_s = (time.perf_counter() - t0) / reps
+    print(f"ddim_sample B=1 (50 steps): {ddim_s:.3f} s "
+          f"= {1 / ddim_s:.3f} samples/s", file=sys.stderr)
+
     stretch_ms = None
     if not args.no_stretch and args.image_size == 64:
         # the 128x128 stretch goal (BASELINE.md:30): same model family,
@@ -314,6 +331,8 @@ def main() -> None:
         "vs_baseline": round(baseline_ms / headline_ms, 3),
         "ddpm_b1_sample_s": round(b1_s, 3),
         "ddpm_b1_samples_per_s": round(1 / b1_s, 3),
+        "ddim50_b1_sample_s": round(ddim_s, 3),
+        "ddim50_b1_samples_per_s": round(1 / ddim_s, 3),
     }
     if f32_3pass_ms is not None:
         out["f32_3pass_train_step_ms"] = round(f32_3pass_ms, 2)

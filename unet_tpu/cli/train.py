@@ -44,6 +44,7 @@ from unet_tpu.data import dataset
 from unet_tpu.diffusion.gaussian import GaussianDiffusion, named_beta_schedule
 from unet_tpu.io import checkpoint as ckpt_io
 from unet_tpu.models import unet
+from unet_tpu.parallel import distributed as dist
 from unet_tpu.parallel import mesh as pmesh
 from unet_tpu.training import trainer
 from unet_tpu.utils.args import add_dict_to_argparser
@@ -122,6 +123,16 @@ def defaults() -> dict:
         num_shards=1,              # dataloader shards (one per host in a
         shard_index=0,             # multi-host launch; this process reads
         #                            shard shard_index of num_shards)
+        coordinator_address="",    # multi-process launch: host:port of the
+        #                            rank-0 rendezvous (jax.distributed;
+        #                            parallel/distributed.py).  Every
+        #                            process runs this same CLI; the mesh
+        #                            then spans all hosts, each host feeds
+        #                            its own loader shard, rank 0 logs and
+        #                            writes checkpoints
+        num_processes=0,           # processes in the multi-process launch
+        #                            (0 = infer from the environment)
+        process_id=-1,             # this process's rank (-1 = infer)
         native_loader=True,        # C++ prefetch loader for plain .bin
         #                            streams (utils/native.NativeLoader);
         #                            shuffle/flip/shard paths use the
@@ -158,7 +169,7 @@ def model_config_from_args(args) -> UnetConfig:
                       use_scale_shift_norm=args.use_scale_shift_norm)
 
 
-def _reject_bad_combos(args) -> None:
+def _reject_bad_combos(args, multiproc: bool = False) -> None:
     """Error loudly instead of silently ignoring flags.  An EXPLICIT
     --num_devices > 1 conflicts with single-device-only features; the
     auto default (--num_devices 0) quietly drops to one device for them."""
@@ -222,11 +233,41 @@ def _reject_bad_combos(args) -> None:
         "--num_shards applies to .bin streams")
     bad(args.shard_index >= args.num_shards,
         "--shard_index must be < --num_shards")
+    if multiproc:
+        nproc = jax.process_count()
+        for flag in ("host_rng", "log_norms", "class_cond"):
+            bad(getattr(args, flag),
+                f"--{flag} is only wired for single-process runs")
+        bad(args.data_dir,
+            "--data_dir has no shard support; multi-process runs need a "
+            ".bin stream (each process reads its own shard)")
+        bad(args.num_devices == 1,
+            "--num_devices 1 conflicts with --coordinator_address")
+        n = args.num_devices or len(jax.devices())
+        data_axis = n // max(args.tensor_parallel, args.spatial_parallel,
+                             1)
+        bad(data_axis % nproc != 0,
+            f"data axis {data_axis} does not divide over {nproc} "
+            "processes")
+        bad(args.num_shards != 1 and args.num_shards != nproc,
+            "--num_shards is set per process automatically in "
+            "multi-process runs; leave it at 1")
 
 
 def main(argv=None) -> None:
     args = create_argparser().parse_args(argv)
-    _reject_bad_combos(args)  # before any work (load/init) happens
+    if args.coordinator_address:
+        # multi-process rendezvous — must precede the first backend query
+        dist.initialize(args.coordinator_address,
+                        args.num_processes or None,
+                        args.process_id if args.process_id >= 0 else None)
+    multiproc = jax.process_count() > 1
+    main_proc = jax.process_index() == 0
+    _reject_bad_combos(args, multiproc)  # before any work happens
+    if multiproc and args.num_shards == 1:
+        # each process streams its own interleaved shard of the dataset
+        args.num_shards = jax.process_count()
+        args.shard_index = jax.process_index()
     if (not args.init_model_only and not args.data_dir
             and not os.path.exists(args.data_file)):
         raise SystemExit(f"train: data file not found: {args.data_file} "
@@ -355,6 +396,9 @@ def main(argv=None) -> None:
             # built on the first chunk: an exact-uint8 probe picks the
             # H2D encoding (see assemble_chunk / make_multi_step).
             multi = "pending"
+    # multi-process: every process feeds its own rows of the global batch
+    loader_batch = (global_batch // jax.process_count() if multiproc
+                    else global_batch)
     native_chunk = None
     if not args.data_dir:
         # Loud mismatch check: a .bin whose images are not (image_size,
@@ -373,7 +417,7 @@ def main(argv=None) -> None:
                 "dataset with prepare_data --size")
     if args.data_dir:
         loader = dataset.image_dir_loader(
-            args.data_dir, global_batch, size=args.image_size,
+            args.data_dir, loader_batch, size=args.image_size,
             class_cond=args.class_cond, randomize=args.randomize,
             seed=seed, skip_batches=start_step)
     elif (args.native_loader and not tc.shuffle
@@ -383,7 +427,7 @@ def main(argv=None) -> None:
         # runs the current step (reference loader contract
         # train_unet.cu:3032-3099, minus the blocking reads)
         from unet_tpu.utils.native import NativeLoader
-        native_chunk = NativeLoader(args.data_file, global_batch,
+        native_chunk = NativeLoader(args.data_file, loader_batch,
                                     skip_batches=start_step)
         loader = iter(native_chunk)
     elif args.native_loader:
@@ -393,13 +437,13 @@ def main(argv=None) -> None:
         # trajectory-faithful resume; tests/test_native.py)
         from unet_tpu.utils.native import NativeAugmentedLoader
         native_chunk = NativeAugmentedLoader(
-            args.data_file, global_batch, shuffle=tc.shuffle,
+            args.data_file, loader_batch, shuffle=tc.shuffle,
             flip=args.flip or args.randomize, seed=seed,
             num_shards=args.num_shards, shard_index=args.shard_index,
             skip_batches=start_step)
         loader = iter(native_chunk)
     else:
-        loader = dataset.data_loader(args.data_file, global_batch,
+        loader = dataset.data_loader(args.data_file, loader_batch,
                                      shuffle=tc.shuffle,
                                      flip=args.flip or args.randomize,
                                      seed=seed, skip_batches=start_step,
@@ -449,10 +493,61 @@ def main(argv=None) -> None:
     h2d_u8 = [False]
 
     # --- loop (reference train_unet.cu:5019-5058) ---
-    text_log = TextLog(args.log_file)
-    kv_log = Logger(args.csv_log_dir or None)
+    # multi-process: rank 0 owns the log files and checkpoint writes;
+    # other ranks print to their own stdout only
+    text_log = TextLog(args.log_file if main_proc else None)
+    kv_log = Logger((args.csv_log_dir or None) if main_proc else None)
     counter = trainer.LossCounter()
     os.makedirs(args.output_dir, exist_ok=True)
+
+    def write_checkpoint(it, state) -> str:
+        """Save the full resume state as model_<it>.bin (rank 0 writes;
+        under multi-process every rank joins the gather collective)."""
+        sstate = dist.replicate(state, m) if multiproc else state
+        path = os.path.join(args.output_dir, f"model_{it}.bin")
+        if main_proc:
+            ckpt_io.save(path, ckpt_io.Checkpoint(
+                params=jax.device_get(sstate.params), cfg=cfg,
+                batch_size=tc.batch_size, step=it,
+                adam_m=jax.device_get(sstate.m),
+                adam_v=jax.device_get(sstate.v), rng_seed=seed,
+                loader_pos=it,
+                host_rng_state=(host_rng.get_state()
+                                if host_rng is not None else None),
+                ema=(jax.device_get(sstate.ema)
+                     if sstate.ema is not None else None),
+                ema_rate=tc.ema_rate,
+                noise_schedule=args.noise_schedule),
+                num_classes)
+        return path
+
+    # Graceful preemption (single-process runs): SIGTERM/SIGINT finish
+    # the in-flight step, save a full resume checkpoint, and exit 0 —
+    # the wall-clock-kill + resume workflow of docs/TRAINING_DEMO.md
+    # without losing the steps since the last periodic save.  A second
+    # signal kills immediately (the handler re-arms the default).  Not
+    # armed under multi-process: the checkpoint gather is a collective,
+    # and a signal delivered to one rank alone would deadlock it.
+    stop_sig = {"sig": None}
+    prev_handlers = {}
+    if not multiproc:
+        import signal
+
+        def _graceful(signum, frame):
+            stop_sig["sig"] = signum
+            signal.signal(signum, signal.SIG_DFL)
+
+        for s in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[s] = signal.signal(s, _graceful)
+
+    def _restore_handlers():
+        # main() runs in-process in tests: put the caller's handlers back
+        if prev_handlers:
+            import signal
+            for s, h in prev_handlers.items():
+                if h is not None:  # None = handler installed from C code
+                    signal.signal(s, h)
+
     t_flush = time.perf_counter()
     it = start_step
     kbatch_next = None
@@ -499,7 +594,13 @@ def main(argv=None) -> None:
             counter.add(loss)
             it += 1
         else:
-            state, loss = step_fn(state, next(loader))
+            batch = next(loader)
+            if multiproc:
+                # local rows -> the globally-sharded batch (each host's
+                # pixels land on its own chips; nothing crosses DCN)
+                batch = dist.global_batch(m, batch,
+                                          spatial=args.spatial_parallel > 1)
+            state, loss = step_fn(state, batch)
             counter.add(loss)  # device->host sync, like the reference's
             #                    per-step loss D2H copy (train_unet.cu:4419)
             it += 1
@@ -518,21 +619,19 @@ def main(argv=None) -> None:
             kv_log.dumpkvs()
             t_flush = time.perf_counter()
         if tc.save_interval > 0 and it % tc.save_interval == 0:
-            path = os.path.join(args.output_dir, f"model_{it}.bin")
-            ckpt_io.save(path, ckpt_io.Checkpoint(
-                params=jax.device_get(state.params), cfg=cfg,
-                batch_size=tc.batch_size, step=it,
-                adam_m=jax.device_get(state.m),
-                adam_v=jax.device_get(state.v), rng_seed=seed,
-                loader_pos=it,
-                host_rng_state=(host_rng.get_state()
-                                if host_rng is not None else None),
-                ema=(jax.device_get(state.ema)
-                     if state.ema is not None else None),
-                ema_rate=tc.ema_rate,
-                noise_schedule=args.noise_schedule),
-                num_classes)
-            text_log.log(f"saved {path}")
+            path = write_checkpoint(it, state)
+            if main_proc:
+                text_log.log(f"saved {path}")
+        if stop_sig["sig"] is not None:
+            if not (tc.save_interval > 0 and it % tc.save_interval == 0):
+                path = write_checkpoint(it, state)
+                text_log.log(f"saved {path}")
+            text_log.log(f"caught signal {stop_sig['sig']} at step {it}; "
+                         "checkpoint saved, exiting (resume with "
+                         f"--model_weights {path})")
+            _restore_handlers()
+            return
+    _restore_handlers()
 
 
 if __name__ == "__main__":
