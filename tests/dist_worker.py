@@ -54,7 +54,7 @@ def main() -> None:
             "--log_interval", "1", "--save_interval", "2",
             "--output_dir", os.path.join(outdir, "models"),
             "--num_devices", "4",
-        ])
+        ] + sys.argv[6:])  # extra flags from the test (e.g. --fsdp true)
         print("CLI_OK")
         return
 

@@ -116,6 +116,30 @@ def test_two_process_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(outdir, "train.log"))
 
 
+def test_two_process_cli_fsdp(tmp_path):
+    """Multi-process + FSDP: params/moments are sharded over the data
+    axis ACROSS processes, and the checkpoint write exercises the
+    collective gather (dist.replicate) before rank 0 serializes."""
+    from unet_tpu.config import UnetConfig
+    from unet_tpu.data import dataset
+    from unet_tpu.io import checkpoint as ckpt_io
+
+    data = os.path.join(tmp_path, "train.bin")
+    imgs = (np.random.default_rng(0)
+            .standard_normal((16, 3, 16, 16)).astype(np.float32) * 0.3)
+    dataset.write_bin(data, imgs)
+    outdir = str(tmp_path / "run")
+    os.makedirs(outdir)
+
+    outs = _run_pair("cli", data, outdir, "--fsdp", "true")
+    assert all("CLI_OK" in o for o in outs)
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2,),
+                     channel_mult=(1, 2))
+    ckpt = ckpt_io.load(os.path.join(outdir, "models", "model_2.bin"), cfg)
+    assert ckpt.step == 2
+    assert ckpt.adam_m is not None
+
+
 def test_reject_multiprocess_bad_combos():
     """Single-process-only features error loudly under a multi-process
     launch (the combo gate runs before any work)."""

@@ -301,6 +301,26 @@ def test_train_cli_native_loader_matches_python(tmp_path):
             np.testing.assert_array_equal(next(py), next(nat))
 
 
+def test_train_cli_auto_resume(tmp_path):
+    """--auto_resume picks up the newest model_*.bin in --output_dir and
+    continues the run (the relaunch-after-preemption workflow)."""
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.io import checkpoint as ckpt_io
+    from unet_tpu.config import UnetConfig
+
+    data = _tiny_bin(tmp_path)
+    outdir = os.path.join(tmp_path, "m")
+    base = _parallel_cli_args(tmp_path, data, outdir) + [
+        "--num_devices", "1"]
+    cli_train.main(base)                      # steps 1..2, saves model_2
+    cli_train.main(base + ["--auto_resume", "true",
+                           "--iterations", "4"])  # resumes at 2, runs 3..4
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2,),
+                     channel_mult=(1, 2))
+    ckpt = ckpt_io.load(os.path.join(outdir, "model_4.bin"), cfg)
+    assert ckpt.step == 4
+
+
 def test_train_cli_microbatch_and_anneal(tmp_path):
     """--microbatch and --lr_anneal_steps (parsed-but-dead in the
     reference, train_unet.py:665-666) train end-to-end here."""

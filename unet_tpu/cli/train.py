@@ -133,6 +133,10 @@ def defaults() -> dict:
         num_processes=0,           # processes in the multi-process launch
         #                            (0 = infer from the environment)
         process_id=-1,             # this process's rank (-1 = infer)
+        auto_resume=False,         # resume from the newest model_*.bin in
+        #                            --output_dir if one exists (pairs with
+        #                            the SIGTERM save: preempt -> relaunch
+        #                            the same command -> continues exactly)
         native_loader=True,        # C++ prefetch loader for plain .bin
         #                            streams (utils/native.NativeLoader);
         #                            shuffle/flip/shard paths use the
@@ -268,6 +272,19 @@ def main(argv=None) -> None:
         # each process streams its own interleaved shard of the dataset
         args.num_shards = jax.process_count()
         args.shard_index = jax.process_index()
+    if args.auto_resume and not args.model_weights:
+        # newest checkpoint in output_dir, by step number in the filename
+        import re as _re
+        found = []
+        if os.path.isdir(args.output_dir):
+            for f in os.listdir(args.output_dir):
+                mm = _re.fullmatch(r"model_(\d+)\.bin", f)
+                if mm:
+                    found.append((int(mm.group(1)), f))
+        if found:
+            args.model_weights = os.path.join(args.output_dir,
+                                              max(found)[1])
+            print(f"auto-resume: {args.model_weights}")
     if (not args.init_model_only and not args.data_dir
             and not os.path.exists(args.data_file)):
         raise SystemExit(f"train: data file not found: {args.data_file} "
