@@ -39,6 +39,42 @@ def test_checkpoint_roundtrip(small_cfg, rng, tmp_path):
         np.zeros_like(flat))
 
 
+def test_checkpoint_save_is_atomic(small_cfg, tmp_path, monkeypatch):
+    """A crash mid-save must not clobber an existing checkpoint: save
+    writes to a .tmp sibling and renames, so --auto_resume never picks a
+    truncated model_N.bin after a kill landed inside the write."""
+    from tests.test_model import make_params_and_flat
+    params, flat = make_params_and_flat(small_cfg)
+    path = os.path.join(tmp_path, "model.bin")
+    good = ckpt_io.Checkpoint(params=params, cfg=small_cfg,
+                              batch_size=32, step=1)
+    ckpt_io.save(path, good)
+    assert not os.path.exists(path + ".tmp")
+    before = open(path, "rb").read()
+
+    calls = {"n": 0}
+    real = ckpt_io.flatten_params
+
+    def dies_mid_write(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:  # first call succeeds: bytes hit the tmp file
+            raise KeyboardInterrupt("kill mid-save")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ckpt_io, "flatten_params", dies_mid_write)
+    crash = ckpt_io.Checkpoint(params=params, cfg=small_cfg,
+                               batch_size=32, step=2,
+                               adam_m=params, adam_v=params)
+    try:
+        ckpt_io.save(path, crash)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(ckpt_io, "flatten_params", real)
+    assert open(path, "rb").read() == before  # original intact
+    loaded = ckpt_io.load(path, small_cfg)
+    assert loaded.step == 1
+
+
 def test_checkpoint_header_reference_layout(small_cfg, tmp_path):
     # Byte-level header contract (reference train_unet.cu:4762-4814).
     from tests.test_model import make_params_and_flat

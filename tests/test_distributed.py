@@ -153,3 +153,22 @@ def test_reject_multiprocess_bad_combos():
         ["--data_dir", "/tmp/x"])
     with pytest.raises(SystemExit, match="shard support"):
         cli_train._reject_bad_combos(args, multiproc=True)
+    # a subset mesh would exclude some processes' devices (this test
+    # process is single-process, so process_count()=1 and any
+    # 0 < n < len(devices) must be rejected)
+    import jax
+    n_sub = len(jax.devices()) - 2
+    args = cli_train.create_argparser().parse_args(
+        ["--num_devices", str(n_sub)])
+    with pytest.raises(SystemExit, match="subset of the global"):
+        cli_train._reject_bad_combos(args, multiproc=True)
+    # same command on every rank with an explicit --num_shards would
+    # stream shard 0 twice: require per-rank --shard_index (rank 0
+    # passes trivially, so probe a non-zero shard_index mismatch)
+    args = cli_train.create_argparser().parse_args(
+        ["--num_shards", "1", "--shard_index", "0"])
+    args.num_shards, args.shard_index = 1, 0
+    cli_train._reject_bad_combos(args, multiproc=True)  # auto path: ok
+    args.num_shards, args.shard_index = 2, 1  # != process_index()==0
+    with pytest.raises(SystemExit, match="assigned per process"):
+        cli_train._reject_bad_combos(args, multiproc=True)

@@ -247,15 +247,22 @@ def _reject_bad_combos(args, multiproc: bool = False) -> None:
             ".bin stream (each process reads its own shard)")
         bad(args.num_devices == 1,
             "--num_devices 1 conflicts with --coordinator_address")
+        bad(args.num_devices not in (0, len(jax.devices())),
+            f"--num_devices {args.num_devices} would build a mesh over a "
+            "subset of the global device set and exclude some processes' "
+            "chips; omit it (0 = all) in multi-process runs")
         n = args.num_devices or len(jax.devices())
         data_axis = n // max(args.tensor_parallel, args.spatial_parallel,
                              1)
         bad(data_axis % nproc != 0,
             f"data axis {data_axis} does not divide over {nproc} "
             "processes")
-        bad(args.num_shards != 1 and args.num_shards != nproc,
-            "--num_shards is set per process automatically in "
-            "multi-process runs; leave it at 1")
+        bad(args.num_shards != 1
+            and (args.num_shards != nproc
+                 or args.shard_index != jax.process_index()),
+            "--num_shards is assigned per process automatically in "
+            "multi-process runs; leave it at 1 (explicit sharding "
+            "requires --shard_index <rank>, distinct per process)")
 
 
 def main(argv=None) -> None:
@@ -275,16 +282,26 @@ def main(argv=None) -> None:
     if args.auto_resume and not args.model_weights:
         # newest checkpoint in output_dir, by step number in the filename
         import re as _re
-        found = []
+        step = -1
         if os.path.isdir(args.output_dir):
             for f in os.listdir(args.output_dir):
                 mm = _re.fullmatch(r"model_(\d+)\.bin", f)
                 if mm:
-                    found.append((int(mm.group(1)), f))
-        if found:
+                    step = max(step, int(mm.group(1)))
+        if multiproc:
+            # Ranks must agree on the resume point, but only rank 0 ever
+            # writes checkpoints: rank 0 decides, everyone follows.  A
+            # rank whose filesystem lacks the file then fails loudly at
+            # load instead of silently fresh-initializing its half of
+            # the global state.
+            from jax.experimental import multihost_utils
+            step = int(multihost_utils.broadcast_one_to_all(
+                np.int32(step)))
+        if step >= 0:
             args.model_weights = os.path.join(args.output_dir,
-                                              max(found)[1])
-            print(f"auto-resume: {args.model_weights}")
+                                              f"model_{step}.bin")
+            if main_proc:
+                print(f"auto-resume: {args.model_weights}")
     if (not args.init_model_only and not args.data_dir
             and not os.path.exists(args.data_file)):
         raise SystemExit(f"train: data file not found: {args.data_file} "
@@ -568,87 +585,92 @@ def main(argv=None) -> None:
     t_flush = time.perf_counter()
     it = start_step
     kbatch_next = None
-    while it < tc.iterations:
-        if multi is not None:
-            k = tc.log_interval
-            if kbatch_next is None:
-                kbatch_next = assemble_chunk(k)
-            state, losses = multi(state, kbatch_next)
-            # Double-buffer the input: assemble AND upload the next chunk
-            # while the device runs this one, then block on the losses.
-            # Staging with device_put here (instead of letting the next
-            # multi() call transfer a numpy chunk after the loss readback)
-            # moves the whole H2D into the compute window — on the
-            # tunneled TPU that transfer is ~4 ms/step of wall time that
-            # would otherwise serialize with the step.
-            kbatch_next = (jax.device_put(assemble_chunk(k))
-                           if it + k < tc.iterations else None)
-            for l in np.asarray(losses):
-                counter.add(float(l))
-            it += k
-        elif host_rng is not None:
-            # reference dev/unet_test.cu:274-284 semantics: timesteps =
-            # floor(u * T); noise drawn in torch's NCHW element order
-            batch = next(loader)
-            t = host_rng.timesteps(batch.shape[0], cfg.max_period)
-            noise = host_rng.normal(
-                (batch.shape[0], cfg.in_channels,
-                 cfg.image_size, cfg.image_size)).transpose(0, 2, 3, 1)
-            state, loss = step_with(state, batch, jnp.asarray(t),
-                                    jnp.asarray(noise))
-            counter.add(loss)
-            it += 1
-        elif args.log_norms:
-            state, aux = step_fn(state, next(loader))
-            counter.add(aux["loss"])
-            kv_log.logkv_mean("grad_norm_mean", float(aux["grad_norm"]))
-            kv_log.logkv("grad_norm", float(aux["grad_norm"]))
-            kv_log.logkv_mean("param_norm", float(aux["param_norm"]))
-            it += 1
-        elif args.class_cond:
-            batch, labels = next(loader)
-            state, loss = step_fn(state, batch, jnp.asarray(labels))
-            counter.add(loss)
-            it += 1
-        else:
-            batch = next(loader)
-            if multiproc:
-                # local rows -> the globally-sharded batch (each host's
-                # pixels land on its own chips; nothing crosses DCN)
-                batch = dist.global_batch(m, batch,
-                                          spatial=args.spatial_parallel > 1)
-            state, loss = step_fn(state, batch)
-            counter.add(loss)  # device->host sync, like the reference's
-            #                    per-step loss D2H copy (train_unet.cu:4419)
-            it += 1
-        if it % tc.log_interval == 0:
-            dt = (time.perf_counter() - t_flush) / tc.log_interval
-            mean_loss = counter.mean_and_reset()
-            text_log.log(f"step {it}: loss {mean_loss:.6f} "
-                         f"({dt * 1e3:.2f} ms/step)")
-            kv_log.logkv("step", it)
-            kv_log.logkv("loss", mean_loss)
-            kv_log.logkv("ms_per_step", dt * 1e3)
-            if args.log_norms:
-                peak = trainer.device_peak_memory_mib(compiled=step_fn)
-                if peak is not None:
-                    kv_log.logkv("peak_mem_MiB", round(peak, 1))
-            kv_log.dumpkvs()
-            t_flush = time.perf_counter()
-        if tc.save_interval > 0 and it % tc.save_interval == 0:
-            path = write_checkpoint(it, state)
-            if main_proc:
-                text_log.log(f"saved {path}")
-        if stop_sig["sig"] is not None:
-            if not (tc.save_interval > 0 and it % tc.save_interval == 0):
+    try:
+        while it < tc.iterations:
+            if multi is not None:
+                k = tc.log_interval
+                if kbatch_next is None:
+                    kbatch_next = assemble_chunk(k)
+                state, losses = multi(state, kbatch_next)
+                # Double-buffer the input: assemble AND upload the next chunk
+                # while the device runs this one, then block on the losses.
+                # Staging with device_put here (instead of letting the next
+                # multi() call transfer a numpy chunk after the loss readback)
+                # moves the whole H2D into the compute window — on the
+                # tunneled TPU that transfer is ~4 ms/step of wall time that
+                # would otherwise serialize with the step.
+                kbatch_next = (jax.device_put(assemble_chunk(k))
+                               if it + k < tc.iterations else None)
+                for l in np.asarray(losses):
+                    counter.add(float(l))
+                it += k
+            elif host_rng is not None:
+                # reference dev/unet_test.cu:274-284 semantics: timesteps =
+                # floor(u * T); noise drawn in torch's NCHW element order
+                batch = next(loader)
+                t = host_rng.timesteps(batch.shape[0], cfg.max_period)
+                noise = host_rng.normal(
+                    (batch.shape[0], cfg.in_channels,
+                     cfg.image_size, cfg.image_size)).transpose(0, 2, 3, 1)
+                state, loss = step_with(state, batch, jnp.asarray(t),
+                                        jnp.asarray(noise))
+                counter.add(loss)
+                it += 1
+            elif args.log_norms:
+                state, aux = step_fn(state, next(loader))
+                counter.add(aux["loss"])
+                kv_log.logkv_mean("grad_norm_mean", float(aux["grad_norm"]))
+                kv_log.logkv("grad_norm", float(aux["grad_norm"]))
+                kv_log.logkv_mean("param_norm", float(aux["param_norm"]))
+                it += 1
+            elif args.class_cond:
+                batch, labels = next(loader)
+                state, loss = step_fn(state, batch, jnp.asarray(labels))
+                counter.add(loss)
+                it += 1
+            else:
+                batch = next(loader)
+                if multiproc:
+                    # local rows -> the globally-sharded batch (each host's
+                    # pixels land on its own chips; nothing crosses DCN)
+                    batch = dist.global_batch(m, batch,
+                                              spatial=args.spatial_parallel > 1)
+                state, loss = step_fn(state, batch)
+                counter.add(loss)  # device->host sync, like the reference's
+                #                    per-step loss D2H copy (train_unet.cu:4419)
+                it += 1
+            if it % tc.log_interval == 0:
+                dt = (time.perf_counter() - t_flush) / tc.log_interval
+                mean_loss = counter.mean_and_reset()
+                text_log.log(f"step {it}: loss {mean_loss:.6f} "
+                             f"({dt * 1e3:.2f} ms/step)")
+                kv_log.logkv("step", it)
+                kv_log.logkv("loss", mean_loss)
+                kv_log.logkv("ms_per_step", dt * 1e3)
+                if args.log_norms:
+                    peak = trainer.device_peak_memory_mib(compiled=step_fn)
+                    if peak is not None:
+                        kv_log.logkv("peak_mem_MiB", round(peak, 1))
+                kv_log.dumpkvs()
+                t_flush = time.perf_counter()
+            if tc.save_interval > 0 and it % tc.save_interval == 0:
                 path = write_checkpoint(it, state)
-                text_log.log(f"saved {path}")
-            text_log.log(f"caught signal {stop_sig['sig']} at step {it}; "
-                         "checkpoint saved, exiting (resume with "
-                         f"--model_weights {path})")
-            _restore_handlers()
-            return
-    _restore_handlers()
+                if main_proc:
+                    text_log.log(f"saved {path}")
+            if stop_sig["sig"] is not None:
+                if not (tc.save_interval > 0 and it % tc.save_interval == 0):
+                    path = write_checkpoint(it, state)
+                    text_log.log(f"saved {path}")
+                text_log.log(f"caught signal {stop_sig['sig']} at step {it}; "
+                             "checkpoint saved, exiting (resume with "
+                             f"--model_weights {path})")
+                return
+    finally:
+        # main() runs in-process in tests: the caller's handlers
+        # must come back even when the loop raises (loader IO
+        # error, checkpoint write failure), or the process's next
+        # Ctrl-C is swallowed by a stale _graceful
+        _restore_handlers()
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ OIHW/(O,I)/(O,I,1) shapes at this boundary.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -235,7 +236,11 @@ def save(path: str, ckpt: Checkpoint,
     # .bin or a .pt); writing 0 keeps load(save(ckpt)) round-trippable.
     header[40] = {None: 0, "linear": 1, "cosine": 2}[ckpt.noise_schedule]
     _arch_to_header(header, cfg, num_classes)
-    with open(path, "wb") as f:
+    # tmp + rename: a kill mid-write (a second SIGTERM during the
+    # graceful-preemption save, or the scheduler's SIGKILL) must never
+    # leave a truncated model_N.bin for --auto_resume to pick as newest
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(header.tobytes())
         f.write(flatten_params(ckpt.params, cfg, num_classes).tobytes())
         if ckpt.adam_m is not None:
@@ -249,6 +254,7 @@ def save(path: str, ckpt: Checkpoint,
                 raise ValueError(
                     f"host_rng_state must be {HOST_RNG_WORDS} words")
             f.write(state.tobytes())
+    os.replace(tmp, path)
 
 
 def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,

@@ -26,6 +26,7 @@ training against a single-process trajectory.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -73,10 +74,17 @@ def global_batch(mesh, local_rows, spatial: bool = False):
         pmesh.batch_sharding(mesh, spatial), local_rows, gshape)
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_fn(mesh):
+    # one jitted gather per mesh: a fresh lambda per call would defeat
+    # jit's cache and re-trace + re-compile the full-state all-gather on
+    # every periodic checkpoint write
+    return jax.jit(lambda t: t, out_shardings=pmesh.replicated(mesh))
+
+
 def replicate(tree, mesh):
     """Gather a pytree of global arrays (replicated or FSDP/TP-sharded)
     into fully-replicated arrays, so every process holds local copies
     (jax.device_get then works anywhere — used for checkpoint writes).
     A collective: EVERY process must call it."""
-    return jax.jit(lambda t: t,
-                   out_shardings=pmesh.replicated(mesh))(tree)
+    return _gather_fn(mesh)(tree)
