@@ -53,27 +53,34 @@ def test_sigterm_saves_resume_checkpoint(tmp_path):
             "--batch_size", "2", "--iterations", "100000",
             "--log_interval", "1", "--save_interval", "0",  # NO periodic
             "--output_dir", outdir, "--num_devices", "1"]
-    proc = subprocess.Popen(
-        [sys.executable, "-c",
-         _WORKER_CODE.format(repo=_REPO, argv=argv)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    try:
-        # wait until a few optimizer steps have landed, then preempt
-        deadline = time.time() + 600
-        while time.time() < deadline:
-            if os.path.exists(log) and "step 3:" in open(log).read():
-                break
-            if proc.poll() is not None:
-                out, _ = proc.communicate()
-                raise AssertionError(f"trainer exited early:\n{out}")
-            time.sleep(0.2)
-        else:
-            raise AssertionError("trainer never reached step 3")
-        proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=180)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
+    # stdout goes to a FILE, never a pipe: a chatty child (e.g. persistent
+    # -cache warnings) would fill a 64 KB pipe and deadlock against the
+    # poll loop below, which reads nothing until after SIGTERM.
+    out_path = os.path.join(tmp_path, "child.out")
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c",
+             _WORKER_CODE.format(repo=_REPO, argv=argv)],
+            stdout=out_f, stderr=subprocess.STDOUT, text=True)
+        try:
+            # wait until a few optimizer steps have landed, then preempt
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                if os.path.exists(log) and "step 3:" in open(log).read():
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"trainer exited early:\n{open(out_path).read()}")
+                time.sleep(0.2)
+            else:
+                raise AssertionError("trainer never reached step 3")
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=180)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+    out = open(out_path).read()
     assert proc.returncode == 0, f"non-zero exit:\n{out}"
     assert "caught signal" in out
 
