@@ -26,25 +26,51 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_pair(mode: str, *extra: str, timeout: int = 900):
-    """Launch the 2-process rendezvous; returns both completed procs."""
+def _run_pair_once(mode: str, extra, timeout: int):
+    """One 2-process rendezvous attempt: (returncodes, outputs)."""
     coord = f"127.0.0.1:{_free_port()}"
     cmd = [sys.executable, _WORKER, coord]
-    procs = [subprocess.Popen(cmd + [str(rank), mode] + list(extra),
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for rank in (0, 1)]
-    outs = []
+    # stdout to files, not pipes: rank 0's communicate() would otherwise
+    # sit while rank 1 blocks writing a full 64 KB pipe inside a gloo
+    # collective — a cross-process deadlock (same class of bug the
+    # test_preempt fix removed).
+    import tempfile
+    outs, procs, files = [], [], []
     try:
+        for rank in (0, 1):
+            f = tempfile.NamedTemporaryFile(
+                "w+", suffix=f".rank{rank}.out", delete=False)
+            files.append(f)
+            procs.append(subprocess.Popen(
+                cmd + [str(rank), mode] + list(extra),
+                stdout=f, stderr=subprocess.STDOUT, text=True))
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
+            p.wait(timeout=timeout)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
+                p.wait()
+        for f in files:
+            f.flush()
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
+            os.unlink(f.name)
+    return [p.returncode for p in procs], outs
+
+
+def _run_pair(mode: str, *extra: str, timeout: int = 900):
+    """Launch the 2-process rendezvous; retries once if the rendezvous
+    itself failed (_free_port() closes its probe socket before the worker
+    rebinds it, so a concurrent process can occasionally steal the port)."""
+    codes, outs = _run_pair_once(mode, extra, timeout)
+    if any(c != 0 for c in codes) and any(
+            "DEADLINE_EXCEEDED" in o or "Address already in use" in o
+            or "failed to connect" in o.lower() for o in outs):
+        codes, outs = _run_pair_once(mode, extra, timeout)
+    for rank, (c, out) in enumerate(zip(codes, outs)):
+        assert c == 0, f"rank {rank} failed:\n{out}"
     return outs
 
 
