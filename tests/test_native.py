@@ -173,3 +173,27 @@ def test_native_u8_emission(tmp_path):
         b.next_into(of)
         np.testing.assert_array_equal(
             o8, np.round((of + 1.0) * 127.5).astype(np.uint8))
+
+
+def test_sharded_shuffle_streams_stay_disjoint(tmp_path):
+    """Round-3 ADVICE item 1: with n % (batch*num_shards) straddling a
+    batch boundary (n=39, B=4, 2 shards -> shard lens 20/19, old
+    per-rank per_epoch 5 vs 4), the shared seeded rng streams used to
+    desynchronize after the first epoch so ranks sliced DIFFERENT
+    permutations — silent shard overlap.  Epoch cadence is now computed
+    from the global size: every step's shard batches stay disjoint
+    across many epochs.  Pixel values encode the image index."""
+    from unet_tpu.data import dataset
+    n, B = 39, 4
+    imgs = np.zeros((n, 3, 8, 8), np.float32) \
+        + np.arange(n, dtype=np.float32)[:, None, None, None]
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, imgs)
+    l0 = dataset.data_loader(path, B, shuffle=True, seed=7,
+                             num_shards=2, shard_index=0)
+    l1 = dataset.data_loader(path, B, shuffle=True, seed=7,
+                             num_shards=2, shard_index=1)
+    for step in range(20):  # per_epoch = 39 // 8 = 4 -> 5 epochs
+        i0 = set(np.unique(next(l0)).astype(int))
+        i1 = set(np.unique(next(l1)).astype(int))
+        assert not (i0 & i1), f"step {step}: shards overlap {i0 & i1}"

@@ -199,8 +199,14 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
             rng.random((k_batches, batch_size))
 
     if shuffle:
-        shard_len = len(np.arange(n)[shard_index::num_shards])
-        per_epoch = max(shard_len // batch_size, 1)
+        # per_epoch comes from the GLOBAL size, not the shard slice: all
+        # ranks share one seeded stream, and shard-local lengths differ
+        # when num_shards does not divide n — a per-rank per_epoch would
+        # desynchronize the permutation cadence after the first epoch
+        # and silently overlap the shards (round-3 ADVICE item 1).
+        # Every rank's slice holds >= per_epoch*batch_size images:
+        # floor(n/S) >= B*floor(n/(B*S)).
+        per_epoch = max(n // (batch_size * num_shards), 1)
         # replay whole epochs (one permutation + its flip draws each) ...
         for _ in range(skip_batches // per_epoch):
             rng.permutation(n)
@@ -210,14 +216,17 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
             perm = rng.permutation(n)
             perm = perm[shard_index::num_shards]
             skip_flip_draws(start)  # ... then the partial epoch
-            for i in range(start * batch_size,
-                           len(perm) - batch_size + 1, batch_size):
-                yield maybe_flip(ds.batch_nhwc(perm[i:i + batch_size]))
+            for i in range(start, per_epoch):
+                yield maybe_flip(ds.batch_nhwc(
+                    perm[i * batch_size:(i + 1) * batch_size]))
             start = 0
     else:
         idx = np.arange(n)[shard_index::num_shards]
-        m = len(idx)
-        per_epoch = max(m // batch_size, 1)
+        # same GLOBAL epoch length as the shuffle branch, so all ranks
+        # wrap in lockstep and the native loader (one per_epoch for both
+        # modes) stays bit-identical
+        per_epoch = max(n // (batch_size * num_shards), 1)
+        m = per_epoch * batch_size
         pos = (skip_batches % per_epoch) * batch_size
         skip_flip_draws(skip_batches)
         while True:

@@ -240,20 +240,37 @@ def save(path: str, ckpt: Checkpoint,
     # graceful-preemption save, or the scheduler's SIGKILL) must never
     # leave a truncated model_N.bin for --auto_resume to pick as newest
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(header.tobytes())
-        f.write(flatten_params(ckpt.params, cfg, num_classes).tobytes())
-        if ckpt.adam_m is not None:
-            f.write(flatten_params(ckpt.adam_m, cfg, num_classes).tobytes())
-            f.write(flatten_params(ckpt.adam_v, cfg, num_classes).tobytes())
-        if ckpt.ema is not None:
-            f.write(flatten_params(ckpt.ema, cfg, num_classes).tobytes())
-        if ckpt.host_rng_state is not None:
-            state = np.ascontiguousarray(ckpt.host_rng_state, np.uint32)
-            if state.size != HOST_RNG_WORDS:
-                raise ValueError(
-                    f"host_rng_state must be {HOST_RNG_WORDS} words")
-            f.write(state.tobytes())
+    try:
+        with open(tmp, "wb") as f:
+            f.write(header.tobytes())
+            f.write(flatten_params(ckpt.params, cfg,
+                                   num_classes).tobytes())
+            if ckpt.adam_m is not None:
+                f.write(flatten_params(ckpt.adam_m, cfg,
+                                       num_classes).tobytes())
+                f.write(flatten_params(ckpt.adam_v, cfg,
+                                       num_classes).tobytes())
+            if ckpt.ema is not None:
+                f.write(flatten_params(ckpt.ema, cfg,
+                                       num_classes).tobytes())
+            if ckpt.host_rng_state is not None:
+                state = np.ascontiguousarray(ckpt.host_rng_state,
+                                             np.uint32)
+                if state.size != HOST_RNG_WORDS:
+                    raise ValueError(
+                        f"host_rng_state must be {HOST_RNG_WORDS} words")
+                f.write(state.tobytes())
+            # fsync before the rename: on power loss the rename must not
+            # commit ahead of the data, or --auto_resume picks a short
+            # model_N.bin as newest (round-3 ADVICE item 2)
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        try:
+            os.unlink(tmp)  # no stale .tmp after a mid-write failure
+        except OSError:
+            pass
+        raise
     os.replace(tmp, path)
 
 

@@ -76,15 +76,22 @@ def global_batch(mesh, local_rows, spatial: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _gather_fn(mesh):
-    # one jitted gather per mesh: a fresh lambda per call would defeat
-    # jit's cache and re-trace + re-compile the full-state all-gather on
-    # every periodic checkpoint write
+    # one jitted gather per mesh (re-traced per leaf shape, cached across
+    # checkpoint writes): a fresh lambda per call would defeat jit's
+    # cache and recompile the all-gathers on every periodic save
     return jax.jit(lambda t: t, out_shardings=pmesh.replicated(mesh))
 
 
 def replicate(tree, mesh):
     """Gather a pytree of global arrays (replicated or FSDP/TP-sharded)
-    into fully-replicated arrays, so every process holds local copies
-    (jax.device_get then works anywhere — used for checkpoint writes).
-    A collective: EVERY process must call it."""
-    return _gather_fn(mesh)(tree)
+    into host copies on every process (used for checkpoint writes).
+    A collective: EVERY process must call it, and pytree iteration order
+    is deterministic so all ranks issue the same collective sequence.
+
+    Leaf-by-leaf with an immediate device_get: gathering the whole state
+    in one program would transiently materialize params + both AdamW
+    moments + EMA fully-replicated per chip (~4x model state) — defeating
+    FSDP's memory headroom exactly at save time (round-3 ADVICE item 4).
+    This bounds the extra device memory to one leaf."""
+    fn = _gather_fn(mesh)
+    return jax.tree.map(lambda a: jax.device_get(fn(a)), tree)

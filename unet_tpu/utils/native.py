@@ -232,7 +232,10 @@ class NativeAugmentedLoader:
         self._shuffle, self._flip = shuffle, flip
         self._num_shards, self._shard_index = num_shards, shard_index
         shard_idx = np.arange(self._n)[shard_index::num_shards]
-        self._per_epoch = max(len(shard_idx) // batch_size, 1)
+        # GLOBAL-size epoch length, matching data_loader: a per-rank
+        # shard_len//B desynchronizes the shared rng stream across ranks
+        # when num_shards does not divide n (round-3 ADVICE item 1)
+        self._per_epoch = max(self._n // (batch_size * num_shards), 1)
         if shuffle:
             # replay skipped epochs: permutation + its flip draws each
             for _ in range(skip_batches // self._per_epoch):
