@@ -252,3 +252,100 @@ def test_fsdp_ema_sharded(tiny_setup):
         np.testing.assert_allclose(
             e, 0.5 * np.asarray(a, np.float32) + 0.5 * np.asarray(b),
             rtol=1e-5, atol=1e-7)
+
+
+def test_dp_class_cond_matches_single_device(tiny_setup):
+    """Class-conditional DP (round-3 VERDICT item 4): labels shard over
+    'data' like the batch rows they belong to; losses identical to the
+    single-device class-cond step (same state rng -> same t/noise/
+    label-dropout draws) over two steps."""
+    _, batch = tiny_setup
+    NCLS = 5
+    params = jax.jit(lambda k: unet.init(k, TINY, NCLS))(
+        jax.random.PRNGKey(2))
+    y = jnp.asarray(np.arange(8) % NCLS, jnp.int32)
+    tc = TrainConfig(batch_size=8, label_dropout=0.2)
+
+    step1, _ = trainer.make_train_step(TINY, tc, donate=False)
+    s1 = trainer.init_state(jax.tree.map(jnp.array, params), seed=9)
+    s1, l1 = step1(s1, jnp.asarray(batch), y)
+    s1, l2 = step1(s1, jnp.asarray(batch), y)
+
+    mesh = pmesh.make_mesh(data=8)
+    stepp = pmesh.make_parallel_train_step(TINY, tc, mesh, class_cond=True,
+                                           donate=False)
+    sp = pmesh.shard_state(
+        trainer.init_state(jax.tree.map(jnp.array, params), seed=9), mesh)
+    ysh = jax.device_put(y, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    sp, p1 = stepp(sp, pmesh.shard_batch(batch, mesh), ysh)
+    sp, p2 = stepp(sp, pmesh.shard_batch(batch, mesh), ysh)
+    np.testing.assert_allclose(float(p1), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(p2), float(l2), rtol=1e-4)
+
+
+def test_tp_fsdp_2d_sharding_matches_replicated(tiny_setup):
+    """2-D parameter sharding (round-3 VERDICT item 8): Megatron 'model'
+    split composed with a ZeRO 'data' split.  Conv1 weights end up sharded
+    on BOTH axes; losses match replicated DP over two steps."""
+    params, batch = tiny_setup
+    tc = TrainConfig(batch_size=8)
+    mesh = pmesh.make_mesh(data=4, model=2)
+
+    # honesty metric: virtually the whole tree is sharded in 2-D
+    # (biases/affines get their 'data' split even where tp replicates)
+    ptree = pmesh.tp_fsdp_sharding(mesh, params)
+    assert pmesh.shard_fraction(ptree, params) > 0.95
+    # ...while tp alone covers the conv/attention weight mass only
+    assert pmesh.shard_fraction(pmesh.tp_sharding(mesh, params),
+                                params) > 0.5
+
+    step_rep = pmesh.make_parallel_train_step(TINY, tc, mesh, donate=False)
+    s_rep = pmesh.shard_state(trainer.init_state(params), mesh)
+    s_rep, l1 = step_rep(s_rep, pmesh.shard_batch(batch, mesh))
+    s_rep, l2 = step_rep(s_rep, pmesh.shard_batch(batch, mesh))
+
+    step_2d = pmesh.make_parallel_train_step(
+        TINY, tc, mesh, tp=True, fsdp=True, example_params=params,
+        donate=False)
+    s2 = pmesh.shard_state(trainer.init_state(params), mesh, tp=True,
+                           fsdp=True)
+    leaf = s2.params["input"][1]["res"]["conv1"]["w"]
+    spec = leaf.sharding.spec
+    assert spec[-1] == "model" and "data" in tuple(spec), spec
+    s2, t1 = step_2d(s2, pmesh.shard_batch(batch, mesh))
+    s2, t2 = step_2d(s2, pmesh.shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(t1), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(t2), float(l2), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_flagship_config_dp_matches_single_device():
+    """One 8-device DP train step of the FULL production UnetConfig()
+    (64px, 4 levels, attention at ds 4/8) vs single-device — catches
+    sharding bugs the tiny configs cannot (skip-concat channel widths,
+    attention at two resolutions, 4-level topology).  Round-3 VERDICT
+    item 6; marked slow (two full-config CPU compiles)."""
+    cfg = UnetConfig()
+    params = jax.jit(lambda k: unet.init(k, cfg))(jax.random.PRNGKey(0))
+    tc = TrainConfig(batch_size=8)
+    batch = np.random.default_rng(1).standard_normal(
+        (8, 64, 64, 3)).astype(np.float32) * 0.5
+
+    step1, _ = trainer.make_train_step(cfg, tc, donate=False)
+    s1 = trainer.init_state(jax.tree.map(jnp.array, params), seed=4)
+    s1, l1 = step1(s1, jnp.asarray(batch))
+
+    mesh = pmesh.make_mesh(data=8)
+    stepp = pmesh.make_parallel_train_step(cfg, tc, mesh, donate=False)
+    sp = pmesh.shard_state(
+        trainer.init_state(jax.tree.map(jnp.array, params), seed=4), mesh)
+    sp, lp = stepp(sp, pmesh.shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(lp), float(l1), rtol=1e-5)
+    # post-AdamW params: reduction-order noise through g/(sqrt(v)+eps)
+    # only — loose absolute tier
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(sp.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

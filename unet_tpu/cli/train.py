@@ -207,10 +207,13 @@ def _reject_bad_combos(args, multiproc: bool = False) -> None:
         "--host_rng and --class_cond cannot be combined")
     bad(args.log_norms and args.class_cond,
         "--log_norms and --class_cond cannot be combined")
-    for flag in ("host_rng", "log_norms", "class_cond"):
+    for flag in ("host_rng", "log_norms"):
         bad(args.num_devices > 1 and getattr(args, flag),
             f"--{flag} is only wired for single-device runs "
             "(--num_devices 1)")
+    # --class_cond (and with it --label_dropout / CFG training) composes
+    # with the mesh tier: labels shard over 'data' like their batch rows
+    # (parallel/mesh.py class_cond=True; tests/test_parallel.py).
     bad(args.class_cond and not args.data_dir,
         "--class_cond needs --data_dir (labels come from image filename "
         "prefixes, reference train_unet.py:506-510)")
@@ -220,8 +223,8 @@ def _reject_bad_combos(args, multiproc: bool = False) -> None:
     bad(args.tensor_parallel > 1 and args.spatial_parallel > 1,
         "--tensor_parallel and --spatial_parallel both use the model "
         "mesh axis")
-    bad(args.tensor_parallel > 1 and args.fsdp,
-        "--tensor_parallel cannot be combined with --fsdp")
+    # --tensor_parallel composes with --fsdp: 2-D tp_fsdp_sharding
+    # (Megatron 'model' split + ZeRO 'data' split of the remaining dims)
     model_axis = max(args.tensor_parallel, args.spatial_parallel)
     if args.fsdp or model_axis > 1:
         n = args.num_devices or len(jax.devices())
@@ -230,7 +233,7 @@ def _reject_bad_combos(args, multiproc: bool = False) -> None:
         bad(n // model_axis < 1, "not enough devices for the model axis")
         bad(args.fsdp and n // model_axis < 2,
             "--fsdp needs >= 2 devices on the data axis")
-        for flag in ("host_rng", "log_norms", "class_cond"):
+        for flag in ("host_rng", "log_norms"):
             bad(getattr(args, flag),
                 f"--{flag} is only wired for single-device runs")
     bad(args.num_shards > 1 and args.data_dir,
@@ -240,6 +243,8 @@ def _reject_bad_combos(args, multiproc: bool = False) -> None:
     if multiproc:
         nproc = jax.process_count()
         for flag in ("host_rng", "log_norms", "class_cond"):
+            # class_cond stays single-process: labels come from --data_dir
+            # (rejected below for multi-process .bin streams)
             bad(getattr(args, flag),
                 f"--{flag} is only wired for single-process runs")
         bad(args.data_dir,
@@ -386,7 +391,7 @@ def main(argv=None) -> None:
     diffusion = GaussianDiffusion.create(
         named_beta_schedule(args.noise_schedule, cfg.max_period))
     n_dev = args.num_devices or len(jax.devices())
-    if args.host_rng or args.log_norms or args.class_cond:
+    if args.host_rng or args.log_norms:
         n_dev = 1
     multi = host_rng = None
     if args.host_rng:
@@ -402,8 +407,13 @@ def main(argv=None) -> None:
                             devices=jax.devices()[:n_dev])
         step_fn = pmesh.make_parallel_train_step(
             cfg, tc, m, diffusion, spatial=use_sp, fsdp=args.fsdp,
-            tp=use_tp,
+            tp=use_tp, class_cond=args.class_cond,
             example_params=params if (args.fsdp or use_tp) else None)
+        if args.fsdp or use_tp:
+            frac = pmesh.shard_fraction(
+                pmesh._param_shard_fn(args.fsdp, use_tp)(m, params), params)
+            print(f"param sharding: {frac:.1%} of elements sharded "
+                  f"({'fsdp+tp' if args.fsdp and use_tp else 'fsdp' if args.fsdp else 'tp'})")
         state = pmesh.shard_state(state, m, fsdp=args.fsdp, tp=use_tp)
         global_batch = tc.batch_size * (n_dev // model_axis)
     else:
@@ -599,8 +609,13 @@ def main(argv=None) -> None:
                 # moves the whole H2D into the compute window — on the
                 # tunneled TPU that transfer is ~4 ms/step of wall time that
                 # would otherwise serialize with the step.
+                # skip the prefetch on the signal-exit path: the loader
+                # position is reconstructed from `step` on resume, so
+                # assembling + uploading a chunk that will never run is
+                # pure wasted host gather + H2D
                 kbatch_next = (jax.device_put(assemble_chunk(k))
-                               if it + k < tc.iterations else None)
+                               if it + k < tc.iterations
+                               and stop_sig["sig"] is None else None)
                 for l in np.asarray(losses):
                     counter.add(float(l))
                 it += k

@@ -123,11 +123,55 @@ def tp_sharding(mesh: Mesh, params) -> "object":
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def tp_fsdp_sharding(mesh: Mesh, params) -> "object":
+    """2-D parameter sharding: the Megatron 'model'-axis split
+    (tp_sharding) composed with a ZeRO-3 'data'-axis split of the largest
+    REMAINING dim of every leaf — tp cuts the math per chip, fsdp cuts
+    the resident state per replica, and the two axes never collide
+    because the fsdp dim is chosen among dims tp left unsharded.  Leaves
+    tp replicates (GN affines, biases, time MLP) still get their 'data'
+    split, so the memory win covers the whole tree."""
+    nd = mesh.shape["data"]
+
+    def spec(a, tsh):
+        dims = getattr(a, "shape", ())
+        tparts = list(tsh.spec)
+        parts = tparts + [None] * (len(dims) - len(tparts))
+        best, bestd = -1, 0
+        for i, d in enumerate(dims):
+            if parts[i] is None and d % nd == 0 and d >= nd and d > bestd:
+                best, bestd = i, d
+        if best >= 0:
+            parts[best] = "data"
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree.map(spec, params, tp_sharding(mesh, params))
+
+
+def shard_fraction(ptree, params) -> float:
+    """Fraction of parameter ELEMENTS whose leaf is actually sharded
+    (any non-replicated dim) under the given sharding tree — the honesty
+    metric for tp/fsdp trees that silently replicate indivisible leaves."""
+    tot = sharded = 0
+    for a, sh in zip(jax.tree.leaves(params), jax.tree.leaves(ptree)):
+        n = int(np.prod(getattr(a, "shape", ()) or (1,), dtype=np.int64))
+        tot += n
+        if any(p is not None for p in sh.spec):
+            sharded += n
+    return sharded / max(tot, 1)
+
+
+def _param_shard_fn(fsdp: bool, tp: bool):
+    if fsdp and tp:
+        return tp_fsdp_sharding
+    return fsdp_sharding if fsdp else tp_sharding
+
+
 def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
                              diffusion: Optional[GaussianDiffusion] = None,
                              *, spatial: bool = False, fsdp: bool = False,
                              tp: bool = False, donate: bool = True,
-                             example_params=None):
+                             example_params=None, class_cond: bool = False):
     """Jitted `train_step(state, global_batch) -> (state, loss)` over the
     mesh.  `global_batch` is (B_global, H, W, C); B_global must divide by
     the data-axis size.  State is replicated; loss is the global mean, so
@@ -138,12 +182,17 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
     'data' axis (requires `example_params` to derive the sharding tree;
     see fsdp_sharding).  tp=True shards them Megatron-style over the
     'model' axis instead (see tp_sharding; mutually exclusive with
-    spatial, which uses the same axis for activation height).  Use
+    spatial, which uses the same axis for activation height); both
+    together compose into the 2-D tp_fsdp_sharding tree.  Use
     shard_state(state, mesh, fsdp=..., tp=...) to place the initial
     state.
+
+    class_cond=True makes the step `train_step(state, batch, y)` with
+    (B_global,) int labels sharded over 'data' exactly like the batch
+    rows they belong to (label-dropout per tc.label_dropout, as the
+    single-device step).
     """
     assert not (tp and spatial), "tp and spatial both use the model axis"
-    assert not (tp and fsdp), "combine tp with fsdp via a custom tree"
     if diffusion is None:
         diffusion = GaussianDiffusion.create(
             named_beta_schedule("linear", cfg.max_period))
@@ -164,13 +213,15 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
     grad_fn = trainer._make_grad_fn(loss_fn, grad_tc,
                                     shards=mesh.shape["data"])
 
-    def train_step(state: trainer.TrainState, batch):
+    def step_body(state: trainer.TrainState, batch, y=None):
         batch = jax.lax.with_sharding_constraint(batch, x_shard)
         t_key, n_key = trainer.step_keys(state)
         t = jax.random.randint(t_key, (batch.shape[0],), 0,
                                diffusion.num_timesteps)
         noise = jax.random.normal(n_key, batch.shape, jnp.float32)
-        loss, grads = grad_fn(state.params, batch, t, noise)
+        loss, grads = grad_fn(state.params, batch, t, noise,
+                              trainer._drop_labels(y, t_key,
+                                                   tc.label_dropout))
         new_step = state.step + 1
         params, m, v = optim.adamw_update(
             state.params, grads, state.m, state.v, new_step, hp)
@@ -178,19 +229,28 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
             params=params, m=m, v=v, step=new_step,
             ema=trainer._ema_step(state.ema, params, tc.ema_rate)), loss
 
+    if class_cond:
+        def train_step(state, batch, y):
+            return step_body(state, batch, y)
+    else:
+        def train_step(state, batch):
+            return step_body(state, batch)
+
     rep = replicated(mesh)
     if fsdp or tp:
         assert example_params is not None, "fsdp/tp needs example_params"
-        shard_fn = fsdp_sharding if fsdp else tp_sharding
-        ptree = shard_fn(mesh, example_params)
+        ptree = _param_shard_fn(fsdp, tp)(mesh, example_params)
         state_sh = trainer.TrainState(
             params=ptree, m=ptree, v=ptree, step=rep, rng=rep,
             ema=ptree if tc.ema_rate > 0.0 else None)
     else:
         state_sh = rep
+    in_sh = (state_sh, x_shard)
+    if class_cond:
+        in_sh = in_sh + (NamedSharding(mesh, P("data")),)
     return jax.jit(
         train_step,
-        in_shardings=(state_sh, x_shard),
+        in_shardings=in_sh,
         out_shardings=(state_sh, rep),
         donate_argnums=(0,) if donate else (),
     )
@@ -199,10 +259,10 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
 def shard_state(state: trainer.TrainState, mesh: Mesh,
                 fsdp: bool = False, tp: bool = False) -> trainer.TrainState:
     """Place a TrainState onto the mesh (replicated; FSDP-sharded over
-    'data' when fsdp=True; Megatron-sharded over 'model' when tp=True)."""
+    'data' when fsdp=True; Megatron-sharded over 'model' when tp=True;
+    2-D tp_fsdp_sharding when both)."""
     if fsdp or tp:
-        shard_fn = fsdp_sharding if fsdp else tp_sharding
-        ptree = shard_fn(mesh, state.params)
+        ptree = _param_shard_fn(fsdp, tp)(mesh, state.params)
         rep = replicated(mesh)
         return trainer.TrainState(
             params=jax.device_put(state.params, ptree),
