@@ -61,7 +61,7 @@ def make_model_fn(cfg: UnetConfig, *, compute_dtype=jnp.float32,
 def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
                 *, batch_size: int = 1, compute_dtype=jnp.float32,
                 x_init=None, num_steps=None, model_fn=None,
-                y=None, guidance_scale: float = 1.0):
+                y=None, guidance_scale: float = 1.0, noise=None):
     """Draw `batch_size` images.  Returns (B, H, W, C) fp32 in [-1, 1]-ish
     (unclipped, as the reference).  Jit-compatible; `cfg`, `batch_size` and
     `compute_dtype` are static under jit.  `num_steps` truncates the
@@ -69,7 +69,10 @@ def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
     denoising, used by tests and progressive-generation callers.
     `y`/`guidance_scale` select class-conditional and classifier-free-
     guided sampling (see make_model_fn); `model_fn` overrides the model
-    call entirely.
+    call entirely.  `noise` (n_steps, B, H, W, C) supplies the per-step
+    injected noise explicitly instead of drawing from `key` — the
+    cross-framework parity hook: feed the exact randn sequence the
+    reference's generate.py:52 draws and the chains match step-for-step.
     """
     T = diffusion.num_timesteps
     S = cfg.image_size
@@ -99,10 +102,14 @@ def ddpm_sample(params, cfg: UnetConfig, diffusion: GaussianDiffusion, key,
         mu = (x - (beta_t * jax.lax.rsqrt(1.0 - alpha_t)) * eps) \
             * jax.lax.rsqrt(1.0 - beta_t)
         sigma = jnp.sqrt((1.0 - alpha_t_1) / (1.0 - alpha_t) * beta_t)
-        x = mu + sigma * jax.random.normal(nkey, x.shape, jnp.float32)
+        z = (jax.random.normal(nkey, x.shape, jnp.float32)
+             if noise is None else noise[i])
+        x = mu + sigma * z
         return x, key
 
     n = T - 2 if num_steps is None else min(num_steps, T - 2)
+    if noise is not None:
+        assert noise.shape[0] >= n, (noise.shape, n)
     x, _ = jax.lax.fori_loop(0, n, body, (x, key))
     return x
 
