@@ -225,6 +225,100 @@ def roundup(x, m):
     return int(math.ceil(x / m) * m)
 
 
+_DT_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s32": 4,
+             "u32": 4, "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1,
+             "s16": 2, "u16": 2}
+_TYPED_SHAPE_RE = re.compile(r"(bf16|f32|f16|f64|s64|u64|s32|u32|s16|u16"
+                             r"|s8|u8|pred)\[([\d,]*)\]")
+
+
+def _shape_bytes(text: str) -> int:
+    total = 0
+    for dt, dims in _TYPED_SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DT_BYTES[dt]
+    return total
+
+
+def parse_bytes_map(hlo_text: str):
+    """Top-level instruction name -> analytic HBM bytes: output written
+    once + every operand read once (a LOWER bound on real traffic — fused
+    internal reuse, padding and revisits only add to it).  Only the ENTRY
+    computation's top level is walked; operand sizes come from the
+    producing instruction's own output type."""
+    lines = hlo_text.splitlines()
+    # find the entry computation: "ENTRY %name" (fall back to 'ENTRY ')
+    start = next((i for i, ln in enumerate(lines)
+                  if ln.lstrip().startswith("ENTRY")), 0)
+    out_bytes = {}
+    operands = {}
+    depth = 0
+    for ln in lines[start:]:
+        depth += ln.count("{") - ln.count("}")
+        m = re.match(r"\s*(?:ROOT\s+)?%([\w.\-]+)\s*=\s*(.*)", ln)
+        if not m:
+            if depth <= 0 and out_bytes:
+                break
+            continue
+        name, rest = m.group(1), m.group(2)
+        # output type: leading token (tuple types span to the matching
+        # paren; scalar/array types are the first whitespace token)
+        if rest.startswith("("):
+            d, j = 0, 0
+            for j, ch in enumerate(rest):
+                d += (ch == "(") - (ch == ")")
+                if d == 0:
+                    break
+            type_txt = rest[:j + 1]
+            body = rest[j + 1:]
+        else:
+            type_txt = rest.split(" ", 1)[0]
+            body = rest[len(type_txt):]
+        out_bytes[name] = _shape_bytes(type_txt)
+        om = re.search(r"\w[\w\-]*\(([^)]*)\)", body)
+        operands[name] = ([t.strip().lstrip("%") for t in
+                           om.group(1).split(",") if t.strip()]
+                          if om else [])
+    total = {}
+    for name in out_bytes:
+        b = out_bytes[name]
+        for op in operands[name]:
+            b += out_bytes.get(op, 0)
+        total[name] = b
+    return total
+
+
+def analyze_nonconv(rows, bytes_map, K, hbm=HBM_GBS):
+    """HBM-floor audit of every non-convolution op category: measured
+    time vs bytes/BW (the only applicable bound for elementwise loop
+    fusions, copies, reductions and formatting ops — their FLOPs are
+    negligible next to their traffic)."""
+    table = []
+    for r in rows:
+        cat = (r.get("category") or "").strip()
+        if "convolution" in cat or not r.get("hlo_op_name"):
+            continue
+        name = r["hlo_op_name"]
+        t_us = float(r["avg_self_time"] or 0.0)
+        occ = float(r["occurrences"] or 0.0) / K
+        if t_us <= 0 or occ <= 0:
+            continue
+        b = bytes_map.get(name, 0)
+        t_bw_us = b / (hbm * 1e9) * 1e6
+        table.append(dict(
+            name=name, category=cat or "?", occ_per_step=occ,
+            us_per_occ=t_us, us_per_step=t_us * occ, bytes=b,
+            gb_s=(b / (t_us * 1e-6) / 1e9) if t_us else 0.0,
+            bound_us=t_bw_us,
+            pct_of_bound=(100.0 * t_bw_us / t_us) if t_us else 0.0,
+        ))
+    table.sort(key=lambda d: -d["us_per_step"])
+    return table
+
+
 def analyze(rows, conv_map, K, peak_tfs=PEAK_BF16_TFS, hbm=HBM_GBS):
     table = []
     for r in rows:
@@ -309,6 +403,38 @@ def main() -> None:
     rows = hlo_stats_rows(trace_dir)
     conv_map = parse_conv_map(hlo_text)
     table = analyze(rows, conv_map, args.K)
+
+    # --- non-conv buckets: HBM floor per op, bucket summary by category
+    nc = analyze_nonconv(rows, parse_bytes_map(hlo_text), args.K)
+    buckets = {}
+    for d in nc:
+        b = buckets.setdefault(d["category"], dict(us=0.0, bound=0.0,
+                                                   n=0))
+        b["us"] += d["us_per_step"]
+        b["bound"] += d["bound_us"]
+        b["n"] += 1
+    print("# non-conv buckets (HBM floor = output written once + every "
+          "operand read once):")
+    print(f"{'category':24s} {'ops':>4s} {'ms/st':>7s} {'floor':>7s} "
+          f"{'%flr':>5s}")
+    for cat, b in sorted(buckets.items(), key=lambda kv: -kv[1]["us"]):
+        pct = 100.0 * b["bound"] / b["us"] if b["us"] else 0.0
+        print(f"{cat[:24]:24s} {b['n']:4d} {b['us'] / 1e3:7.2f} "
+              f"{b['bound'] / 1e3:7.2f} {pct:5.1f}")
+    print("# top non-conv ops:")
+    for d in nc[:args.top]:
+        print(f"{d['name'][:38]:38s} {d['category'][:14]:14s} "
+              f"{d['occ_per_step']:4.0f} {d['us_per_step']:7.1f} "
+              f"{d['gb_s']:6.0f} GB/s {d['pct_of_bound']:5.1f}%flr")
+    if args.csv:
+        nc_csv = args.csv.replace(".csv", "_nonconv.csv")
+        if nc:
+            import csv as _csv
+            with open(nc_csv, "w", newline="") as f:
+                w = _csv.DictWriter(f, fieldnames=list(nc[0].keys()))
+                w.writeheader()
+                w.writerows(nc)
+            print(f"wrote {nc_csv}")
 
     tot = sum(d["us_per_step"] for d in table)
     print(f"# conv fusions: {len(table)}, total "
