@@ -244,24 +244,19 @@ def _shape_bytes(text: str) -> int:
 
 
 def parse_bytes_map(hlo_text: str):
-    """Top-level instruction name -> analytic HBM bytes: output written
-    once + every operand read once (a LOWER bound on real traffic — fused
-    internal reuse, padding and revisits only add to it).  Only the ENTRY
-    computation's top level is walked; operand sizes come from the
-    producing instruction's own output type."""
-    lines = hlo_text.splitlines()
-    # find the entry computation: "ENTRY %name" (fall back to 'ENTRY ')
-    start = next((i for i, ln in enumerate(lines)
-                  if ln.lstrip().startswith("ENTRY")), 0)
+    """Instruction name -> (analytic HBM bytes, output bytes).  Analytic
+    bytes = output written once + every operand read once (a LOWER bound
+    on real traffic — fused internal reuse, padding and revisits only add
+    to it).  The WHOLE module is walked, not just ENTRY: in the K-step
+    scanned train program every hot op lives inside the while-body
+    computation.  Instruction names are unique module-wide in optimized
+    HLO, so one global map resolves the profiler's op names and the
+    operand references alike."""
     out_bytes = {}
     operands = {}
-    depth = 0
-    for ln in lines[start:]:
-        depth += ln.count("{") - ln.count("}")
+    for ln in hlo_text.splitlines():
         m = re.match(r"\s*(?:ROOT\s+)?%([\w.\-]+)\s*=\s*(.*)", ln)
         if not m:
-            if depth <= 0 and out_bytes:
-                break
             continue
         name, rest = m.group(1), m.group(2)
         # output type: leading token (tuple types span to the matching
@@ -287,26 +282,70 @@ def parse_bytes_map(hlo_text: str):
         b = out_bytes[name]
         for op in operands[name]:
             b += out_bytes.get(op, 0)
-        total[name] = b
+        total[name] = (b, out_bytes[name])
     return total
+
+
+# categories whose profiler row is control flow / async bookkeeping, not
+# a memory-moving kernel — an operand-sum "floor" is meaningless there
+# (e.g. the while instruction's operand is the entire loop carry)
+_NONKERNEL_CATS = ("while", "conditional", "call", "parameter",
+                   "constant", "tuple", "get-tuple-element", "bitcast",
+                   "async-start", "copy-start")
+
+
+_DEF_RE = re.compile(r"%([\w.\-]+) = ((?:\([^)]*\))|\S+)")
+_ARRAY_RE = re.compile(r"(bf16|f32|f16|s32|u32|u8|s8)\[([\d,]+)\]")
+
+
+def parse_minor_map(hlo_text: str):
+    """Instruction name -> minor (lane) dim of its LARGEST array type —
+    the tensor whose streaming dominates the fusion.  A bf16 (8,128)
+    memory tile holds the minor dim over the 128 lanes, so a C=64-minor
+    tensor leaves half of every tile as padding: the achievable HBM rate
+    for those fusions is ~half the pin rate, the bandwidth analog of the
+    convs' two-sided MXU lane-fill ceiling."""
+    out = {}
+    for m in _DEF_RE.finditer(hlo_text):
+        if m.group(1) in out:
+            continue
+        best = (0, None)
+        for dt, dims in _ARRAY_RE.findall(m.group(2)):
+            d = [int(x) for x in dims.split(",")]
+            n = _DT_BYTES[dt]
+            for x in d:
+                n *= x
+            if n > best[0]:
+                best = (n, d[-1])
+        out[m.group(1)] = best[1]
+    return out
 
 
 def analyze_nonconv(rows, bytes_map, K, hbm=HBM_GBS):
     """HBM-floor audit of every non-convolution op category: measured
     time vs bytes/BW (the only applicable bound for elementwise loop
     fusions, copies, reductions and formatting ops — their FLOPs are
-    negligible next to their traffic)."""
+    negligible next to their traffic).  Custom-calls (Pallas attention)
+    get the same treatment: their HBM floor is far below their MXU-bound
+    runtime by design — the conv-style MXU audit for them lives in
+    docs/PERF.md's attention section."""
     table = []
     for r in rows:
         cat = (r.get("category") or "").strip()
-        if "convolution" in cat or not r.get("hlo_op_name"):
+        if ("convolution" in cat or not r.get("hlo_op_name")
+                or cat in _NONKERNEL_CATS):
             continue
         name = r["hlo_op_name"]
         t_us = float(r["avg_self_time"] or 0.0)
         occ = float(r["occurrences"] or 0.0) / K
         if t_us <= 0 or occ <= 0:
             continue
-        b = bytes_map.get(name, 0)
+        b, out_b = bytes_map.get(name, (0, 0))
+        if "copy" in cat:
+            # copy-done's operand is the copy-start's (dest, src, ctx)
+            # tuple — triple-counts the buffer; the true floor is read
+            # once + write once
+            b = 2 * out_b
         t_bw_us = b / (hbm * 1e9) * 1e6
         table.append(dict(
             name=name, category=cat or "?", occ_per_step=occ,
@@ -406,6 +445,9 @@ def main() -> None:
 
     # --- non-conv buckets: HBM floor per op, bucket summary by category
     nc = analyze_nonconv(rows, parse_bytes_map(hlo_text), args.K)
+    minor_map = parse_minor_map(hlo_text)
+    for d in nc:
+        d["minor_dim"] = minor_map.get(d["name"])
     buckets = {}
     for d in nc:
         b = buckets.setdefault(d["category"], dict(us=0.0, bound=0.0,
@@ -421,11 +463,38 @@ def main() -> None:
         pct = 100.0 * b["bound"] / b["us"] if b["us"] else 0.0
         print(f"{cat[:24]:24s} {b['n']:4d} {b['us'] / 1e3:7.2f} "
               f"{b['bound'] / 1e3:7.2f} {pct:5.1f}")
+    # loop fusions by lane fill: minor dim <= 64 -> half-padded (8,128)
+    # tiles -> ~half the pin bandwidth is the real ceiling
+    lf = [d for d in nc if d["category"] == "loop fusion"
+          and d["us_per_step"] >= 20]
+    by_minor = {}
+    for d in lf:
+        key = d["minor_dim"]
+        b = by_minor.setdefault(key, dict(us=0.0, bound=0.0, n=0))
+        b["us"] += d["us_per_step"]
+        b["bound"] += d["bound_us"]
+        b["n"] += 1
+    print("# loop fusions >=20us by minor (lane) dim of their largest "
+          "tensor:")
+    print(f"{'minor':>6s} {'ops':>4s} {'ms/st':>7s} {'floor':>7s} "
+          f"{'%flr':>5s}")
+    for k, b in sorted(by_minor.items(), key=lambda kv: -kv[1]["us"]):
+        print(f"{str(k):>6s} {b['n']:4d} {b['us'] / 1e3:7.2f} "
+              f"{b['bound'] / 1e3:7.2f} "
+              f"{100.0 * b['bound'] / b['us']:5.1f}")
+    adj = sum(d["bound_us"] * (2.0 if (d["minor_dim"] or 128) <= 64
+                               else 1.0) for d in lf)
+    tot_lf = sum(d["us_per_step"] for d in lf)
+    if tot_lf:
+        print(f"# lane-adjusted loop-fusion floor (minor<=64 bytes x2): "
+              f"{adj / 1e3:.2f} ms vs {tot_lf / 1e3:.2f} measured "
+              f"({100.0 * adj / tot_lf:.1f}%)")
     print("# top non-conv ops:")
     for d in nc[:args.top]:
         print(f"{d['name'][:38]:38s} {d['category'][:14]:14s} "
               f"{d['occ_per_step']:4.0f} {d['us_per_step']:7.1f} "
-              f"{d['gb_s']:6.0f} GB/s {d['pct_of_bound']:5.1f}%flr")
+              f"{d['gb_s']:6.0f} GB/s {d['pct_of_bound']:5.1f}%flr "
+              f"m{d['minor_dim']}")
     if args.csv:
         nc_csv = args.csv.replace(".csv", "_nonconv.csv")
         if nc:
