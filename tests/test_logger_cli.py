@@ -263,6 +263,49 @@ def test_train_cli_tensor_parallel(tmp_path):
                                  "--tensor_parallel", "2"])
 
 
+def test_train_cli_tp_fsdp_2d(tmp_path, capsys):
+    """--tensor_parallel composes with --fsdp (2-D tp_fsdp_sharding,
+    round-3 VERDICT item 8); the CLI reports the sharded fraction."""
+    _run_parallel_cli(tmp_path, ["--num_devices", "8",
+                                 "--tensor_parallel", "2",
+                                 "--fsdp", "true"])
+    out = capsys.readouterr().out
+    assert "param sharding:" in out and "fsdp+tp" in out
+
+
+def test_train_cli_class_cond_multidevice(tmp_path):
+    """--class_cond composes with the mesh tier (round-3 VERDICT item
+    4): labels shard over 'data' with their batch rows."""
+    from PIL import Image
+    from unet_tpu.cli import train as cli_train
+    from unet_tpu.io import checkpoint as ckpt_io
+    from unet_tpu.config import UnetConfig
+
+    ddir = os.path.join(tmp_path, "imgs")
+    os.makedirs(ddir)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        arr = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(ddir, f"class{i % 2}_{i}.png"))
+    outdir = os.path.join(tmp_path, "m")
+    cli_train.main([
+        "--data_dir", ddir, "--image_size", "16", "--num_channels", "32",
+        "--channel_mult", "1,2", "--attention_resolutions", "8",
+        "--batch_size", "8", "--iterations", "2", "--log_interval", "1",
+        "--save_interval", "2", "--output_dir", outdir,
+        "--log_file", os.path.join(tmp_path, "l.txt"),
+        "--class_cond", "true", "--num_classes", "2",
+        "--label_dropout", "0.2", "--num_devices", "8",
+    ])
+    cfg = UnetConfig(model_channels=32, image_size=16, attention_ds=(2,),
+                     channel_mult=(1, 2))
+    ckpt = ckpt_io.load(os.path.join(outdir, "model_2.bin"), cfg,
+                        num_classes=2)
+    assert ckpt.step == 2
+    assert "label_emb" in ckpt.params
+
+
 def test_train_cli_spatial_parallel(tmp_path):
     _run_parallel_cli(tmp_path, ["--num_devices", "8",
                                  "--spatial_parallel", "2"])
@@ -276,7 +319,8 @@ def test_cli_rejects_parallel_combos(tmp_path):
     base = _parallel_cli_args(tmp_path, data, os.path.join(tmp_path, "m"))
     combos = [
         ["--tensor_parallel", "2", "--spatial_parallel", "2"],
-        ["--tensor_parallel", "2", "--fsdp", "true"],
+        # (--tensor_parallel + --fsdp is now a VALID 2-D combo,
+        # test_train_cli_tp_fsdp_2d above)
         ["--num_devices", "8", "--tensor_parallel", "3"],
         ["--fsdp", "true", "--num_devices", "1"],
         ["--num_shards", "2", "--shard_index", "2"],
