@@ -1,18 +1,40 @@
 """Benchmark: full training step on the reference production config.
 
-Prints ONE JSON line to stdout:
+Prints the headline JSON line to stdout IMMEDIATELY after the headline
+measurement (and re-prints it, enriched, as extras land), so a driver
+timeout can never starve the one number this script exists to produce:
+
   {"metric": "imagenet64_train_step_ms", "value": <ms>, "unit": "ms",
-   "vs_baseline": <59.20 / ms>}
+   "vs_baseline": <59.20 / ms>, ...}
 
 vs_baseline > 1.0 means faster than the reference's best published number
 (59.20 ms/step, PyTorch + torch.compile on RTX 4090, fp32, B=32 —
-reference README.md:8-12, BASELINE.md).  Secondary numbers (fp32 step,
-fwd-only, sampler throughput) go to stderr.
+reference README.md:8-12, BASELINE.md).  That headline is bf16 (the
+TPU-native precision); the like-for-like fp32 comparison is the
+`f32_3pass_*` keys (3-pass bf16x3 matmuls, the tf32 analog — passes the
+reference trajectory test at exact-f32 fidelity, docs/PARITY.md).
+
+Robustness contract (round-4 post-mortem: the driver killed the old
+single-JSON-at-the-end layout before it printed anything):
+  * stdout carries ONLY JSON lines; all narration goes to stderr.
+  * The headline line is printed+flushed right after the headline
+    measurement.  Every later section try/excepts, re-emits the enriched
+    line when it lands, and is skipped when the wall-clock budget
+    (UNET_TPU_BENCH_BUDGET_S, default 480 s) has insufficient headroom.
+  * SIGTERM/SIGINT emit the current line before exiting, so even a
+    `timeout` kill mid-extra flushes everything measured so far.
+  * flops_per_step / mfu come from the analytic model-FLOPs count
+    (models/unet.fwd_flops × 3) — the old extra cost_analysis compile
+    (~5 min cold on this 1-core host) is gone.  mfu is emitted for the
+    bf16 headline only: fp32 3-pass runs at 1/3 the bf16 MXU peak, so a
+    bf16-peak MFU would be the wrong ceiling for it.
 
 Benchmark discipline: jit-warmup first (compile excluded), then mean over
-timed reps with block_until_ready, fresh random batch data each rep from a
-pre-generated pool so no rep reuses device-cached inputs (the reference
-flushes L2 between reps for the same reason, dev/common.h:88-122).
+timed reps; every timed step consumes a distinct pre-staged batch so no
+rep reuses device-cached inputs (the reference flushes L2 between reps
+for the same reason, dev/common.h:88-122).  Sync is scalar readback —
+`jax.block_until_ready` does not reliably block on the tunneled axon
+platform (see utils/benchmark.py).
 """
 
 from __future__ import annotations
@@ -20,10 +42,17 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
 
 
 def verify_pallas_kernels() -> int:
@@ -34,8 +63,8 @@ def verify_pallas_kernels() -> int:
     attention shape (B=32, T=1024, C=192, HS=32), the reference
     dev/attention.cu core shape (B=4, T=1024, C=256, HS=32,
     dev/attention.cu:370-375), and the model's GroupNorm slabs.
-    Prints per-tensor fault counts to stderr; raises on any fault.
-    Returns the total fault count (0 = all kernels device-verified)."""
+    Prints per-tensor fault counts to stderr; returns the total fault
+    count (0 = all kernels device-verified)."""
     import jax
     import jax.numpy as jnp
     from unet_tpu.ops import functional as F
@@ -127,6 +156,11 @@ def main() -> None:
                         help="64 = the reference benchmark config; 128 = "
                              "the BASELINE stretch goal")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--budget_s", type=float, default=float(
+        os.environ.get("UNET_TPU_BENCH_BUDGET_S", "480")),
+                        help="wall-clock budget; extras whose estimated "
+                             "cost exceeds the remaining budget are "
+                             "skipped (the headline always runs)")
     parser.add_argument("--secondary", action="store_true",
                         help="also measure the other compute dtype, "
                              "fwd-only, and the B=32 sampler (stderr "
@@ -159,9 +193,10 @@ def main() -> None:
     from unet_tpu.config import TrainConfig, UnetConfig
     from unet_tpu.diffusion.gaussian import (GaussianDiffusion,
                                              named_beta_schedule)
-    from unet_tpu.diffusion.sampler import make_sampler
+    from unet_tpu.diffusion.sampler import make_ddim_sampler, make_sampler
     from unet_tpu.models import unet
     from unet_tpu.training import trainer
+    from unet_tpu.utils.benchmark import _drain, benchmark
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
@@ -175,27 +210,6 @@ def main() -> None:
         named_beta_schedule("linear", cfg.max_period))
 
     S = cfg.image_size
-
-    def program_flops_per_step(dtype_name):
-        """XLA's own flop count for ONE compiled train step (fwd + bwd +
-        AdamW — the MFU basis), None if the backend's cost analysis is
-        unavailable.  Counted on the UNSCANNED single-step program: cost
-        analysis tallies a lax.scan body once regardless of trip count,
-        so the K-step program under-reports by K."""
-        try:
-            tc = TrainConfig(batch_size=B, compute_dtype=dtype_name,
-                             remat=args.remat)
-            step_fn, _ = trainer.make_train_step(cfg, tc, diffusion,
-                                                 donate=False)
-            st = trainer.init_state(params)
-            x = jax.ShapeDtypeStruct((B, S, S, 3), jnp.float32)
-            ca = step_fn.lower(st, x).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            return float(ca["flops"])
-        except Exception as e:  # pragma: no cover - plugin-dependent
-            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-            return None
 
     def peak_flops_per_s():
         """bf16 peak of the attached chip, for the MFU denominator."""
@@ -223,7 +237,6 @@ def main() -> None:
         chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
             (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(K)])
             for _ in range(2)]
-        from unet_tpu.utils.benchmark import _drain
         state, losses = ms_fn(state, chunks[0])   # warmup/compile
         _drain(losses)
         state, losses = ms_fn(state, chunks[1])   # post-compile warmup
@@ -236,115 +249,142 @@ def main() -> None:
         #                 reliably block on the tunneled axon platform
         return (time.perf_counter() - t0) / (n * K) * 1e3
 
+    # ------------------------------------------------------------------
+    # Headline measurement -> emit IMMEDIATELY.
     headline_ms = bench_step(args.dtype)
-    flops_per_step = [program_flops_per_step(args.dtype)]
-    print(f"train_step {args.dtype}: {headline_ms:.2f} ms", file=sys.stderr)
+    print(f"train_step {args.dtype}: {headline_ms:.2f} ms "
+          f"(t={_elapsed():.0f}s)", file=sys.stderr)
 
-    verify_faults = None
-    if not args.no_verify and jax.default_backend() == "tpu":
-        verify_faults = verify_pallas_kernels()
+    baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
+    out = {
+        "metric": f"imagenet{args.image_size}_train_step_ms",
+        "value": round(headline_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / headline_ms, 3),
+        # analytic model FLOPs: fwd contractions × 3 (fwd+dgrad+wgrad)
+        "flops_per_step": 3 * unet.fwd_flops(cfg, B),
+    }
+    peak = peak_flops_per_s()
+    if peak is not None and args.dtype == "bfloat16":
+        # bf16 only: fp32 3-pass runs each contraction 3x, so the bf16
+        # peak is the wrong MFU ceiling for it (ADVICE r4)
+        out["mfu"] = round(
+            out["flops_per_step"] / (headline_ms / 1e3) / peak, 4)
 
-    # Like-for-like f32 numbers (the baseline is an fp32 measurement,
-    # BASELINE.md): 3-pass bf16x3 ("high", the tf32 analog — passes the
-    # 10-step trajectory test at exact-f32 fidelity, docs/PARITY.md).
-    f32_3pass_ms = f32_highest_ms = None
-    if not args.no_f32 and args.dtype == "bfloat16":
-        from unet_tpu.ops import functional as F
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    emit()
+
+    # On a driver kill mid-extra, flush whatever has landed so far.
+    def _on_term(signum, frame):  # pragma: no cover - signal path
+        print(f"signal {signum}: emitting current results and exiting",
+              file=sys.stderr)
+        emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_term)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    # Extras, in descending importance.  Each is skipped when the budget
+    # lacks headroom for its warm-cache cost estimate (cold compiles eat
+    # budget naturally via _elapsed), and re-emits the JSON on success.
+    def run_extra(name, est_s, fn):
+        if _elapsed() + est_s > args.budget_s:
+            print(f"skip {name}: {_elapsed():.0f}s elapsed + ~{est_s:.0f}s"
+                  f" > {args.budget_s:.0f}s budget", file=sys.stderr)
+            return
+        try:
+            fn()
+            emit()
+        except Exception as e:
+            print(f"{name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        print(f"after {name}: t={_elapsed():.0f}s", file=sys.stderr)
+
+    def x_verify():
+        if jax.default_backend() == "tpu":
+            out["pallas_verify_faults"] = verify_pallas_kernels()
+
+    def x_f32():
+        # Like-for-like f32 numbers (the baseline is an fp32 measurement,
+        # BASELINE.md): 3-pass bf16x3 ("high", the tf32 analog — passes
+        # the 10-step trajectory test at exact-f32 fidelity,
+        # docs/PARITY.md).
         from jax import lax
+        from unet_tpu.ops import functional as F
         prev_prec = {lax.Precision.HIGHEST: "highest",
                      lax.Precision.HIGH: "high",
                      lax.Precision.DEFAULT: "default"}[F._F32_PRECISION]
         F.set_f32_precision("high")
         try:
-            f32_3pass_ms = bench_step("float32")
+            f32_ms = bench_step("float32")
         finally:
             F.set_f32_precision(prev_prec)  # restore the env-selected
             #                                 mode, not hardcoded highest
-        print(f"train_step float32 (3-pass): {f32_3pass_ms:.2f} ms",
+        print(f"train_step float32 (3-pass): {f32_ms:.2f} ms",
               file=sys.stderr)
-        if args.secondary and not args.no_secondary:
-            f32_highest_ms = bench_step("float32")
-            print(f"train_step float32 (HIGHEST): {f32_highest_ms:.2f} ms",
-                  file=sys.stderr)
+        out["f32_3pass_train_step_ms"] = round(f32_ms, 2)
+        out["f32_3pass_vs_baseline"] = round(baseline_ms / f32_ms, 3)
+        # the honest headline-adjacent ratio: fp32 vs the fp32 baseline
+        out["vs_baseline_like_for_like"] = out["f32_3pass_vs_baseline"]
 
-    if args.secondary and not args.no_secondary:
-        other = "float32" if args.dtype == "bfloat16" else "bfloat16"
-        other_ms = bench_step(other)
-        print(f"train_step {other}: {other_ms:.2f} ms", file=sys.stderr)
-
-        from unet_tpu.utils.benchmark import benchmark
-        # input-rotation batches (secondary-only; ~12.6 MB of H2D)
-        batches = [jnp.asarray(rng.standard_normal(
-            (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(8)]
-        fwd = jax.jit(lambda p, x, t: unet.apply(
-            p, cfg, x, t, compute_dtype=jnp.dtype(args.dtype)))
-        t = jnp.zeros((B,), jnp.float32)
-        r = benchmark(fwd, reps=args.reps,
-                      rotate=[(params, b, t) for b in batches])
-        print(f"unet_fwd {args.dtype} B={B}: {r['mean_ms']:.2f} ms",
-              file=sys.stderr)
-
-        SB = 32
-        sampler = make_sampler(cfg, diffusion, batch_size=SB,
-                               compute_dtype=jnp.dtype(args.dtype))
-        from unet_tpu.utils.benchmark import _drain
-        imgs = sampler(params, jax.random.PRNGKey(0))  # compile
+    def x_b1_sampler():
+        # B=1 998-step chain: BASELINE.md:26-30 defines the samples/sec
+        # metric as the generate.py-equivalent path (998 sequential B=1
+        # forwards, reference generate.py:77-80).
+        sampler1 = make_sampler(cfg, diffusion, batch_size=1,
+                                compute_dtype=jnp.dtype(args.dtype))
+        imgs = sampler1(params, jax.random.PRNGKey(0))  # compile
         _drain(imgs)
         t0 = time.perf_counter()
-        imgs = sampler(params, jax.random.PRNGKey(1))
+        b1_reps = 3
+        for i in range(b1_reps):
+            imgs = sampler1(params, jax.random.PRNGKey(1 + i))
         _drain(imgs)
-        dt = time.perf_counter() - t0
-        print(f"ddpm_sample B={SB} ({cfg.max_period - 2} steps): "
-              f"{dt:.2f} s = {SB / dt:.3f} samples/s", file=sys.stderr)
+        b1_s = (time.perf_counter() - t0) / b1_reps
+        print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s"
+              f" = {1 / b1_s:.3f} samples/s", file=sys.stderr)
+        out["ddpm_b1_sample_s"] = round(b1_s, 3)
+        out["ddpm_b1_samples_per_s"] = round(1 / b1_s, 3)
 
-    # B=1 998-step chain: BASELINE.md:26-30 defines the samples/sec metric
-    # as the generate.py-equivalent path (998 sequential B=1 forwards,
-    # reference generate.py:77-80).
-    from unet_tpu.utils.benchmark import _drain
-    sampler1 = make_sampler(cfg, diffusion, batch_size=1,
-                            compute_dtype=jnp.dtype(args.dtype))
-    imgs = sampler1(params, jax.random.PRNGKey(0))  # compile
-    _drain(imgs)
-    t0 = time.perf_counter()
-    b1_reps = 3
-    for i in range(b1_reps):
-        imgs = sampler1(params, jax.random.PRNGKey(1 + i))
-    _drain(imgs)
-    b1_s = (time.perf_counter() - t0) / b1_reps
-    print(f"ddpm_sample B=1 ({cfg.max_period - 2} steps): {b1_s:.3f} s "
-          f"= {1 / b1_s:.3f} samples/s", file=sys.stderr)
+    def x_ddim():
+        # DDIM-50 B=1: the fast-sampling serving path
+        # (diffusion/sampler.py ddim_sample; no reference analog —
+        # generate.py only runs the full ancestral chain).
+        ddim1 = make_ddim_sampler(cfg, diffusion, num_steps=50,
+                                  batch_size=1,
+                                  compute_dtype=jnp.dtype(args.dtype))
+        imgs = ddim1(params, jax.random.PRNGKey(0))  # compile
+        _drain(imgs)
+        t0 = time.perf_counter()
+        reps = 20  # a ~23 ms quantity on an RTT-jittery link: amortize
+        for i in range(reps):
+            imgs = ddim1(params, jax.random.PRNGKey(1 + i))
+        _drain(imgs)
+        ddim_s = (time.perf_counter() - t0) / reps
+        print(f"ddim_sample B=1 (50 steps): {ddim_s:.3f} s "
+              f"= {1 / ddim_s:.3f} samples/s", file=sys.stderr)
+        out["ddim50_b1_sample_s"] = round(ddim_s, 3)
+        out["ddim50_b1_samples_per_s"] = round(1 / ddim_s, 3)
 
-    # DDIM-50 B=1: the fast-sampling serving path (diffusion/sampler.py
-    # ddim_sample; no reference analog — generate.py only runs the full
-    # ancestral chain).  Same latency surface as the B=1 DDPM metric.
-    from unet_tpu.diffusion.sampler import make_ddim_sampler
-    ddim1 = make_ddim_sampler(cfg, diffusion, num_steps=50, batch_size=1,
-                              compute_dtype=jnp.dtype(args.dtype))
-    imgs = ddim1(params, jax.random.PRNGKey(0))  # compile
-    _drain(imgs)
-    t0 = time.perf_counter()
-    reps = 20  # a ~23 ms quantity on an RTT-jittery link: amortize it
-    for i in range(reps):
-        imgs = ddim1(params, jax.random.PRNGKey(1 + i))
-    _drain(imgs)
-    ddim_s = (time.perf_counter() - t0) / reps
-    print(f"ddim_sample B=1 (50 steps): {ddim_s:.3f} s "
-          f"= {1 / ddim_s:.3f} samples/s", file=sys.stderr)
-
-    stretch_ms = None
-    if not args.no_stretch and args.image_size == 64:
+    def x_stretch():
         # the 128x128 stretch goal (BASELINE.md:30): same model family,
         # T=1024 at the first attention level -> fused Pallas attention
         cfg128 = UnetConfig(image_size=128)
         tc = TrainConfig(batch_size=B, compute_dtype=args.dtype)
         ms_fn = trainer.make_multi_step(cfg128, tc, diffusion)
-        p128 = jax.jit(lambda k: unet.init(k, cfg128))(jax.random.PRNGKey(0))
+        p128 = jax.jit(lambda k: unet.init(k, cfg128))(
+            jax.random.PRNGKey(0))
         st = trainer.init_state(jax.tree.map(jnp.array, p128))
         K = 5
         chunks = [jnp.stack([jnp.asarray(rng.standard_normal(
-            (B, 128, 128, 3)).astype(np.float32) * 0.5) for _ in range(K)])
-            for _ in range(2)]
-        from unet_tpu.utils.benchmark import _drain
+            (B, 128, 128, 3)).astype(np.float32) * 0.5)
+            for _ in range(K)]) for _ in range(2)]
         st, losses = ms_fn(st, chunks[0])   # compile
         _drain(losses)
         st, losses = ms_fn(st, chunks[1])   # post-compile warmup
@@ -357,35 +397,50 @@ def main() -> None:
         stretch_ms = (time.perf_counter() - t0) / (n128 * K) * 1e3
         print(f"train_step {args.dtype} 128x128: {stretch_ms:.2f} ms",
               file=sys.stderr)
-
-    baseline_ms = 59.20  # torch.compile full step, RTX 4090 (BASELINE.md)
-    out = {
-        "metric": f"imagenet{args.image_size}_train_step_ms"
-                  if args.image_size != 64 else "imagenet64_train_step_ms",
-        "value": round(headline_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / headline_ms, 3),
-        "ddpm_b1_sample_s": round(b1_s, 3),
-        "ddpm_b1_samples_per_s": round(1 / b1_s, 3),
-        "ddim50_b1_sample_s": round(ddim_s, 3),
-        "ddim50_b1_samples_per_s": round(1 / ddim_s, 3),
-    }
-    if flops_per_step[0] is not None:
-        out["flops_per_step"] = round(flops_per_step[0])
-        peak = peak_flops_per_s()
-        if peak is not None:
-            out["mfu"] = round(
-                flops_per_step[0] / (headline_ms / 1e3) / peak, 4)
-    if f32_3pass_ms is not None:
-        out["f32_3pass_train_step_ms"] = round(f32_3pass_ms, 2)
-        out["f32_3pass_vs_baseline"] = round(baseline_ms / f32_3pass_ms, 3)
-    if f32_highest_ms is not None:
-        out["f32_highest_train_step_ms"] = round(f32_highest_ms, 2)
-    if stretch_ms is not None:
         out["imagenet128_train_step_ms"] = round(stretch_ms, 2)
-    if verify_faults is not None:
-        out["pallas_verify_faults"] = verify_faults
-    print(json.dumps(out))
+
+    if not args.no_verify:
+        run_extra("pallas_verify", 60, x_verify)
+    if not args.no_f32 and args.dtype == "bfloat16":
+        run_extra("f32_3pass", 60, x_f32)
+    run_extra("ddpm_b1", 40, x_b1_sampler)
+    run_extra("ddim50_b1", 25, x_ddim)
+    if not args.no_stretch and args.image_size == 64:
+        run_extra("stretch_128", 90, x_stretch)
+
+    if args.secondary and not args.no_secondary:
+        def x_secondary():
+            other = ("float32" if args.dtype == "bfloat16"
+                     else "bfloat16")
+            other_ms = bench_step(other)
+            print(f"train_step {other}: {other_ms:.2f} ms",
+                  file=sys.stderr)
+
+            # input-rotation batches (secondary-only; ~12.6 MB of H2D)
+            batches = [jnp.asarray(rng.standard_normal(
+                (B, S, S, 3)).astype(np.float32) * 0.5) for _ in range(8)]
+            fwd = jax.jit(lambda p, x, t: unet.apply(
+                p, cfg, x, t, compute_dtype=jnp.dtype(args.dtype)))
+            t = jnp.zeros((B,), jnp.float32)
+            r = benchmark(fwd, reps=args.reps,
+                          rotate=[(params, b, t) for b in batches])
+            print(f"unet_fwd {args.dtype} B={B}: {r['mean_ms']:.2f} ms",
+                  file=sys.stderr)
+
+            SB = 32
+            sampler = make_sampler(cfg, diffusion, batch_size=SB,
+                                   compute_dtype=jnp.dtype(args.dtype))
+            imgs = sampler(params, jax.random.PRNGKey(0))  # compile
+            _drain(imgs)
+            t0 = time.perf_counter()
+            imgs = sampler(params, jax.random.PRNGKey(1))
+            _drain(imgs)
+            dt = time.perf_counter() - t0
+            print(f"ddpm_sample B={SB} ({cfg.max_period - 2} steps): "
+                  f"{dt:.2f} s = {SB / dt:.3f} samples/s", file=sys.stderr)
+        run_extra("secondary", 180, x_secondary)
+
+    emit()  # final (possibly identical) line: last line is always valid
 
 
 if __name__ == "__main__":

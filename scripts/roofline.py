@@ -30,10 +30,14 @@ Method:
        K/roundup(K,128) — XLA packs the reversed-kernel contraction
        densely (measured: K=576 dgrads sustain 116-160 TF/s, above any
        per-tap model).
-     * wgrad (image-sized window): absolute peak, fill 1.0 — Mosaic
-       flattens (kh, kw, ci) into the non-contracted dim, so no lane
-       argument applies; the ceiling is optimistic by construction, so
-       read the absolute TF/s for these rows.
+     * wgrad (image-sized window): MAX-OPERAND lane fill
+       max(fill(C_in), fill(C_out)) — the (B,H,W) contraction is huge,
+       so Mosaic streams whichever channel operand fills the lanes
+       better (x carries C_in minor, dy carries C_out minor).  Derived
+       and validated round 5 over all 92 3x3-wgrad fusions: the bucket
+       measures 90.8% (64 px) / 88.7% (128 px) of this floor — see
+       docs/PERF.md "The wgrad lane-fill law" (the round-3/4 CSVs were
+       scored against absolute peak here and showed 43-66%).
 
 Usage: python scripts/roofline.py [--image_size 64] [--dtype bfloat16]
         [--csv docs/roofline_64.csv] [--reuse]
@@ -192,11 +196,14 @@ def parse_conv_map(hlo_text: str):
 
 
 def conv_cost(info):
-    """(flops, o_size, k_size, i_size, kind) for one convolution.
+    """(flops, o_size, k_size, i_size, kind, c_in2) for one convolution.
 
     kind: "fwd" (pad < window-1), "dgrad" (pad == window-1, the
     transposed conv reading a reversed kernel), or "wgrad" (image-sized
-    window: the contraction runs over the batch/spatial dims)."""
+    window: the contraction runs over the batch/spatial dims).  c_in2 is
+    the wgrad output's OTHER channel dim (dW is (kh,kw,cin,cout): i/o
+    labels give cout; cin sits in the out shape) — the max-operand
+    lane-fill law needs both (docs/PERF.md round-5 wgrad section)."""
     out_elems = int(np.prod(info["out"])) if info["out"] else 0
     labels = info["labels"]
     # rhs labels: the part between '_' and '->', e.g. 01io / i01o
@@ -218,7 +225,9 @@ def conv_cost(info):
         kind = "fwd"
     k_size = i_size * window
     flops = 2.0 * out_elems * k_size
-    return flops, o_size, k_size, i_size, kind
+    c_in2 = (info["out"][-2] if kind == "wgrad" and len(info["out"]) >= 2
+             else None)
+    return flops, o_size, k_size, i_size, kind, c_in2
 
 
 def roundup(x, m):
@@ -379,15 +388,21 @@ def analyze(rows, conv_map, K, peak_tfs=PEAK_BF16_TFS, hbm=HBM_GBS):
         # module docstring for the per-kind fill model)
         if costs:
             ceil_num = 0.0
-            for f, o, k, i, kind in costs:
+            for f, o, k, i, kind, ci2 in costs:
                 if kind == "fwd":
                     fill = ((o / roundup(o, 128))
                             * (i / roundup(i, 128)))
                 elif kind == "dgrad":
                     fill = ((o / roundup(o, 128))
                             * (k / roundup(k, 128)))
-                else:                       # wgrad: optimistic peak
-                    fill = 1.0
+                else:
+                    # wgrad: max-operand lane fill — Mosaic streams
+                    # whichever channel operand (x's C_in minor or dy's
+                    # C_out minor) fills the 128 lanes better; validated
+                    # per class in docs/PERF.md "The wgrad lane-fill
+                    # law" (bucket at 91%/89% of this floor)
+                    c2 = ci2 if ci2 else o
+                    fill = max(o / roundup(o, 128), c2 / roundup(c2, 128))
                 ceil_num += f * peak_tfs * fill
             ceiling_tfs = ceil_num / max(flops_an, 1.0)
         else:

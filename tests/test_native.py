@@ -126,6 +126,29 @@ def test_native_augmented_loader_parity(tmp_path):
                                           err_msg=f"{kw} batch {k}")
 
 
+def test_loaders_reject_undersized_dataset(tmp_path):
+    """n < batch_size*num_shards must fail loudly in BOTH loaders — a
+    silently clamped per_epoch would serve ragged batches that retrace
+    or crash a compiled step (round-4 ADVICE item 1)."""
+    from unet_tpu.data import dataset
+
+    imgs = (np.random.default_rng(3)
+            .standard_normal((6, 3, 8, 8)).astype(np.float32))
+    path = os.path.join(tmp_path, "d.bin")
+    dataset.write_bin(path, imgs)
+
+    with pytest.raises(ValueError, match="full batch"):
+        next(dataset.data_loader(path, 8, shuffle=True))
+    with pytest.raises(ValueError, match="full batch"):
+        next(dataset.data_loader(path, 4, num_shards=2, shard_index=0))
+    try:
+        native.load_library()
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    with pytest.raises(ValueError, match="full batch"):
+        native.NativeAugmentedLoader(path, 8, shuffle=True)
+
+
 def test_native_next_into(tmp_path):
     """next_into fills a row view of a preallocated chunk (the
     trainer's multi-step assembly path) identically to next_batch."""

@@ -411,7 +411,8 @@ def main(argv=None) -> None:
             example_params=params if (args.fsdp or use_tp) else None)
         if args.fsdp or use_tp:
             frac = pmesh.shard_fraction(
-                pmesh._param_shard_fn(args.fsdp, use_tp)(m, params), params)
+                pmesh.param_sharding(m, params, fsdp=args.fsdp,
+                                     tp=use_tp), params)
             print(f"param sharding: {frac:.1%} of elements sharded "
                   f"({'fsdp+tp' if args.fsdp and use_tp else 'fsdp' if args.fsdp else 'tp'})")
         state = pmesh.shard_state(state, m, fsdp=args.fsdp, tp=use_tp)

@@ -184,6 +184,14 @@ def data_loader(path: str, batch_size: int, *, shuffle: bool = False,
     """
     ds = BinDataset(path)
     n = len(ds)
+    if n < batch_size * num_shards:
+        # loud instead of silently clamping per_epoch to 1: a short shard
+        # slice would yield ragged batches that retrace or crash a
+        # compiled step downstream (round-4 ADVICE item 1)
+        raise ValueError(
+            f"dataset has {n} images < batch_size*num_shards = "
+            f"{batch_size}*{num_shards}; every rank needs at least one "
+            f"full batch per epoch")
     rng = np.random.default_rng(seed)
 
     def maybe_flip(batch):

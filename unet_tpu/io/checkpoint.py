@@ -272,6 +272,18 @@ def save(path: str, ckpt: Checkpoint,
             pass
         raise
     os.replace(tmp, path)
+    # fsync the directory so the rename itself survives power loss —
+    # without it the newest save may vanish and --auto_resume falls back
+    # to the previous checkpoint (round-4 ADVICE item 4).  Consistency
+    # never depended on this; durability of the latest save does.
+    try:
+        dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # e.g. directories not fsync-able on this filesystem
 
 
 def load_torch_pt(path: str, cfg: Optional[UnetConfig] = None,

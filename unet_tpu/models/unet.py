@@ -78,6 +78,65 @@ def build_plan(cfg: UnetConfig) -> UnetPlan:
     return UnetPlan(tuple(input_blocks), middle, tuple(output_blocks), ch)
 
 
+def fwd_flops(cfg: UnetConfig, batch_size: int = 1) -> int:
+    """Analytic forward matmul/conv FLOPs (2·MACs) for one batch.
+
+    Walks the same plan `apply` executes and counts only MXU work (convs,
+    linears, attention dots) — the standard model-FLOPs basis for MFU.  A
+    training step is 3× this (fwd + input-grad + weight-grad each run the
+    same contractions once).  Cross-checked against XLA's own
+    cost_analysis in tests/test_model.py::test_fwd_flops_matches_xla.
+    """
+    plan = build_plan(cfg)
+
+    def conv(h, w, cin, cout, k=3):
+        return 2 * h * w * cin * cout * k * k
+
+    def res(h, w, cin, cout):
+        f = conv(h, w, cin, cout) + conv(h, w, cout, cout)
+        emb_out = 2 * cout if cfg.use_scale_shift_norm else cout
+        f += 2 * cfg.time_embed_dim * emb_out
+        if cin != cout:
+            f += conv(h, w, cin, cout, k=1)
+        return f
+
+    def attn(h, w, c):
+        t = h * w
+        # qkv 1x1 + QK^T + PV + proj 1x1
+        return 2 * t * c * 3 * c + 2 * 2 * t * t * c + 2 * t * c * c
+
+    def group(h, w, layers):
+        f = 0
+        for layer in layers:
+            kind = layer[0]
+            if kind == "conv_in":
+                f += conv(h, w, layer[1], layer[2])
+            elif kind == "res":
+                f += res(h, w, layer[1], layer[2])
+            elif kind == "attn":
+                f += attn(h, w, layer[1])
+            elif kind == "down":
+                h, w = h // 2, w // 2
+            elif kind == "up":
+                h, w = h * 2, w * 2
+        return f, h, w
+
+    s = cfg.image_size
+    ted = cfg.time_embed_dim
+    total = 2 * (cfg.model_channels * ted + ted * ted)  # time MLP
+    h = w = s
+    for layers in plan.input_blocks:
+        f, h, w = group(h, w, layers)
+        total += f
+    f, h, w = group(h, w, plan.middle)
+    total += f
+    for layers in plan.output_blocks:
+        f, h, w = group(h, w, layers)
+        total += f
+    total += conv(s, s, plan.out_channels_pre_head, cfg.out_channels)
+    return total * batch_size
+
+
 # ---------------------------------------------------------------------------
 # Init
 

@@ -161,10 +161,15 @@ def shard_fraction(ptree, params) -> float:
     return sharded / max(tot, 1)
 
 
-def _param_shard_fn(fsdp: bool, tp: bool):
+def param_sharding(mesh: Mesh, params, *, fsdp: bool = False,
+                   tp: bool = False):
+    """The parameter sharding tree make_parallel_train_step /
+    shard_state use for a given fsdp/tp selection — public so callers
+    can report shard_fraction(param_sharding(...), params) without
+    rebuilding private internals (round-4 ADVICE item 3)."""
     if fsdp and tp:
-        return tp_fsdp_sharding
-    return fsdp_sharding if fsdp else tp_sharding
+        return tp_fsdp_sharding(mesh, params)
+    return (fsdp_sharding if fsdp else tp_sharding)(mesh, params)
 
 
 def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
@@ -239,7 +244,7 @@ def make_parallel_train_step(cfg: UnetConfig, tc: TrainConfig, mesh: Mesh,
     rep = replicated(mesh)
     if fsdp or tp:
         assert example_params is not None, "fsdp/tp needs example_params"
-        ptree = _param_shard_fn(fsdp, tp)(mesh, example_params)
+        ptree = param_sharding(mesh, example_params, fsdp=fsdp, tp=tp)
         state_sh = trainer.TrainState(
             params=ptree, m=ptree, v=ptree, step=rep, rng=rep,
             ema=ptree if tc.ema_rate > 0.0 else None)
@@ -262,7 +267,7 @@ def shard_state(state: trainer.TrainState, mesh: Mesh,
     'data' when fsdp=True; Megatron-sharded over 'model' when tp=True;
     2-D tp_fsdp_sharding when both)."""
     if fsdp or tp:
-        ptree = _param_shard_fn(fsdp, tp)(mesh, state.params)
+        ptree = param_sharding(mesh, state.params, fsdp=fsdp, tp=tp)
         rep = replicated(mesh)
         return trainer.TrainState(
             params=jax.device_put(state.params, ptree),

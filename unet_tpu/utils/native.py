@@ -228,6 +228,13 @@ class NativeAugmentedLoader:
         self._base = NativeLoader(path, batch_size)
         self.batch_size = batch_size
         self._n = self._base.n_images
+        if self._n < batch_size * num_shards:
+            # mirror data_loader's loud contract (round-4 ADVICE item 1):
+            # a clamped per_epoch would serve ragged/overlapping batches
+            raise ValueError(
+                f"dataset has {self._n} images < batch_size*num_shards ="
+                f" {batch_size}*{num_shards}; every rank needs at least "
+                f"one full batch per epoch")
         self._rng = np.random.default_rng(seed)
         self._shuffle, self._flip = shuffle, flip
         self._num_shards, self._shard_index = num_shards, shard_index
